@@ -1,0 +1,96 @@
+"""Typed runtime configuration.
+
+The reference keeps all knobs as compile-time ``constexpr`` in two headers
+(``Source/Engine/Config.hpp:8-67`` and
+``Source/Engine/Render/Vulkan/VulkanConfig.hpp:5-45``) plus ``#define``
+injection into shaders (``ShaderManager.cpp:11-42``).  Here the same knob set
+is a frozen dataclass: frozen so a ``Config`` can parameterize jitted
+functions as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class RenderMode(enum.Enum):
+    """Ref: Source/Engine/EngineHelpers.hpp:32-38 (RenderMode::{eHybrid, ePathTracing})."""
+
+    PATH_TRACING = "path_tracing"
+    HYBRID = "hybrid"
+
+
+class TraversalMode(enum.Enum):
+    """Which trace backend to use — the analog of the reference's compile-time
+    PathTracingMode::{eRayTracing, eRayQueries} backend switch
+    (Source/Engine/Config.hpp:10-14,33): two interchangeable implementations
+    of the same estimator."""
+
+    BRUTE_FORCE = "brute_force"  # O(R*T) tiled Moller-Trumbore, tiny scenes/tests
+    BVH = "bvh"                  # LBVH + vectorized XLA traversal
+    BVH_PALLAS = "bvh_pallas"    # LBVH + Pallas traversal kernel (hot path)
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Ref: Config.hpp:39-50 (DefaultCamera) — position -5 on +Z looking at
+    origin, up +Y, xFov 90deg, 16:9, 0.01..1000 z-range. Note the reference
+    treats ``xFov / aspect`` as the *vertical* fov (Camera.cpp:59)."""
+
+    position: tuple[float, float, float] = (0.0, 0.0, 5.0)  # kBackward * 5 (kForward = -Z)
+    target: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    up: tuple[float, float, float] = (0.0, 1.0, 0.0)
+    x_fov: float = math.radians(90.0)
+    aspect_ratio: float = 16.0 / 9.0
+    z_near: float = 0.01
+    z_far: float = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- window / framebuffer (ref: Config.hpp:18) ---
+    width: int = 1280
+    height: int = 720
+
+    # --- render mode (ref: EngineHelpers.hpp:32-38, toggled Engine.cpp:237-244) ---
+    render_mode: RenderMode = RenderMode.PATH_TRACING
+    traversal: TraversalMode = TraversalMode.BVH
+
+    # --- path tracing (ref: RayGen.rgen:18-23) ---
+    min_bounce_count: int = 2   # RR starts after this many bounces
+    max_bounce_count: int = 4
+    rr_min_threshold: float = 0.05
+
+    # --- accumulation parity ---
+    # The reference accumulates *tone-mapped* radiance into an RGBA8 image
+    # (RenderSystemPT.cpp:291-300, RayGen.rgen:314-323).  parity_quantization
+    # reproduces that 8-bit round trip; disable for a higher-quality
+    # float32 accumulator (a conscious divergence, see SURVEY.md section 7).
+    parity_quantization: bool = True
+
+    # --- lights ---
+    point_light_radius: float = 0.05  # ref: Config.hpp:35 kPointLightRadius
+
+    # --- camera (ref: Config.hpp:37-50) ---
+    reverse_depth: bool = True
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+
+    # --- environment preprocessing (ref: Environment.cpp:11-25, ImageBasedLighting.cpp) ---
+    env_cube_size: int = 1024       # max env cubemap face size
+    irradiance_size: int = 128      # max irradiance cube face size
+    reflection_size: int = 512      # max prefiltered reflection face size
+    brdf_lut_size: int = 256        # split-sum BRDF LUT
+    direct_light_max_luminance: float = 25.0  # ref: DirectLighting.cpp:283-298 clamp
+
+    # --- execution shape ---
+    ray_chunk_size: int = 1 << 16   # rays per traversal chunk (bounds VMEM/steps)
+    bvh_leaf_size: int = 4          # triangles per LBVH leaf
+
+    @property
+    def resolution(self) -> tuple[int, int]:
+        return (self.height, self.width)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,297 @@
+"""The progressive path-tracing integrator.
+
+This is the TPU formulation of the reference's canonical per-pixel bounce
+loop (Source/Shaders/PathTracing/RayGen.rgen:325-414, identically implemented
+by the ray-query backend PathTracing.comp).  Instead of one divergent GPU
+thread per pixel, the whole wavefront of R rays advances bounce-by-bounce as
+SOA arrays with aliveness masks — dead lanes are masked, never branched, so
+every step is dense VPU/gather work.
+
+Estimator parity notes (each preserved deliberately; SURVEY.md section 7):
+
+- seeds: s0 = wang((x<<16)|y), s1 = wang(accumIndex), one warm-up draw
+  (RayGen.rgen:57-66);
+- the sub-pixel jitter draws from a *copy* of the seed (GetPrimaryRayDireciton
+  takes ``uvec2 seed`` by value, :73) so it does not advance the main stream;
+- irradiance contributions are scaled by accumulated throughput / accumulated
+  pdf (:345-348, :370-378) rather than per-bounce normalized throughput;
+- Russian roulette starts at bounce >= 2 with threshold
+  max(0.05, 1 - maxComponent(throughput)) on the *unnormalized* throughput
+  (:393-401);
+- material rays cull back faces (:335), visibility rays do not (:137);
+- a point-light sphere hit on the primary ray short-circuits to the light
+  color (:354-359);
+- the path terminates when pdf < EPSILON or the bsdf is black (:383-386).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.lax
+import jax.numpy as jnp
+from jax import Array
+
+from vulkanraytracing_tpu.config import Config
+from vulkanraytracing_tpu.core import math3d, rng
+from vulkanraytracing_tpu.core.math3d import BIAS, EPSILON, RAY_MAX_T, RAY_MIN_T
+from vulkanraytracing_tpu.env.panorama import sample_environment
+from vulkanraytracing_tpu.ops import trace
+from vulkanraytracing_tpu.ops.intersect import fetch_surface_attributes
+from vulkanraytracing_tpu.pt import bsdf as bsdf_mod
+from vulkanraytracing_tpu.scene.camera import CameraPT
+from vulkanraytracing_tpu.scene.types import PointLights, Scene
+
+
+class TraceStats(NamedTuple):
+    """Ray-count accounting for the Mrays/s metric (the reference's only perf
+    surface is an FPS overlay; we count actual rays cast)."""
+
+    rays: Array  # () f32 — total rays traced (material + visibility)
+
+
+def primary_rays(
+    camera: CameraPT,
+    px: Array,
+    py: Array,
+    width: int,
+    height: int,
+    s0: Array,
+    s1: Array,
+) -> tuple[Array, Array]:
+    """Camera rays with sub-pixel jitter (RayGen.rgen:68-82).
+
+    The jitter consumes a copy of the RNG state — the caller's (s0, s1) must
+    NOT be replaced by the advanced state (pass-by-value quirk at :73)."""
+    jitter, _, _ = rng.next_vec2(s0, s1)
+
+    size = jnp.array([width, height], jnp.float32)
+    pix = jnp.stack([px, py], axis=-1).astype(jnp.float32)
+    uv = (pix + jitter) / size
+    xy = uv * 2.0 - 1.0
+
+    target = jnp.einsum(
+        "ij,...j->...i",
+        camera.inverse_proj,
+        jnp.concatenate([xy, jnp.ones_like(xy)], axis=-1),
+    )
+    t3 = math3d.normalize(target[..., :3])
+    direction = jnp.einsum(
+        "ij,...j->...i",
+        camera.inverse_view,
+        jnp.concatenate([t3, jnp.zeros_like(t3[..., :1])], axis=-1),
+    )
+    d = math3d.normalize(direction[..., :3])
+    o = jnp.broadcast_to(camera.inverse_view[:3, 3], d.shape)
+    return o, d
+
+
+def intersect_point_light_spheres(
+    lights: PointLights, radius: float, o: Array, d: Array, t_min: Array, t_max: Array
+) -> tuple[Array, Array]:
+    """Closest light-gizmo sphere hit — replaces the point-light TLAS of
+    procedural unit spheres (Sphere.rint, SceneModel.cpp:1267-1295; radius =
+    Config::kPointLightRadius).  Returns (t, color); t<0 = miss, matching the
+    payload convention (RayTracing.glsl:45-53)."""
+    c = lights.position[None, :, :3]            # (1, L, 3)
+    oc = o[:, None, :] - c                      # (R, L, 3)
+    b = math3d.dot(oc, d[:, None, :])           # (R, L)
+    cc = math3d.dot(oc, oc) - radius * radius
+    disc = b * b - cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where(t0 > t_min[:, None], t0, t1)
+    valid = (disc > 0.0) & (t > t_min[:, None]) & (t < t_max[:, None])
+    t = jnp.where(valid, t, jnp.float32(3.0e38))
+    best = jnp.argmin(t, axis=1)
+    r = jnp.arange(o.shape[0])
+    t_best = t[r, best]
+    color = lights.color[best, :3]
+    return jnp.where(t_best < 3.0e38, t_best, -1.0), color
+
+
+def _estimate_point_lights(lights: PointLights, n: Array, p: Array) -> Array:
+    """Per-light unshadowed irradiance estimate lum*NoL/d^2
+    (RayGen.rgen:200-213). Returns (R, L)."""
+    delta = lights.position[None, :, :3] - p[:, None, :]   # (R, L, 3)
+    dist_sq = math3d.dot(delta, delta)
+    l_dir = delta * jax.lax.rsqrt(jnp.maximum(dist_sq, 1e-20))[..., None]
+    nol = jnp.maximum(math3d.dot(n[:, None, :], l_dir), 0.0)
+    lum = math3d.luminance(lights.color[None, :, :3])
+    return lum * nol / jnp.maximum(dist_sq, 1e-20)
+
+
+def sample_point_light(
+    lights: PointLights, n: Array, p: Array, s0: Array, s1: Array
+) -> tuple[Array, Array, Array, Array]:
+    """Irradiance-proportional CDF selection (RayGen.rgen:216-256).
+
+    Returns (light_index, pdf, s0', s1').  One uniform float is consumed per
+    call — exactly one per bounce in the reference stream."""
+    est = _estimate_point_lights(lights, n, p)        # (R, L)
+    cdf = jnp.cumsum(est, axis=1)
+    total = cdf[:, -1:]
+    # Guard the reference's 0/0 (all lights below horizon): pdf of the forced
+    # last light becomes 1, and its NoL=0 zeroes the contribution anyway.
+    safe_total = jnp.where(total > 0.0, total, 1.0)
+    cdf = jnp.where(total > 0.0, cdf / safe_total, jnp.ones_like(cdf))
+    cdf = cdf.at[:, -1].set(1.0)  # :235
+
+    x, s0, s1 = rng.next_float(s0, s1)
+    # first index with x < cdf[i] (:239-246)
+    idx = jnp.sum((x[:, None] >= cdf[:, :-1]).astype(jnp.int32), axis=1)
+    r = jnp.arange(p.shape[0])
+    pdf = cdf[r, idx] - jnp.where(idx > 0, cdf[r, jnp.maximum(idx - 1, 0)], 0.0)
+    return idx, pdf, s0, s1
+
+
+def pathtrace(
+    scene: Scene,
+    cfg: Config,
+    camera: CameraPT,
+    px: Array,
+    py: Array,
+    width: int,
+    height: int,
+    accum_index: Array,
+) -> tuple[Array, TraceStats]:
+    """Trace one sample for each pixel in (px, py); returns tone-mapped color
+    (R, 3) — the RayGen.rgen main() body, vectorized."""
+    R = px.shape[0]
+    f32 = jnp.float32
+
+    s0, s1 = rng.pixel_seed(px, py, accum_index)
+    o, d = primary_rays(camera, px, py, width, height, s0, s1)
+    t_min = jnp.full((R,), camera.z_near, f32)
+    t_max = jnp.full((R,), camera.z_far, f32)
+
+    rays_cast = f32(R)
+    hit = trace.trace_closest(scene, cfg, o, d, t_min, t_max, cull_backface=True)
+
+    irradiance = jnp.zeros((R, 3), f32)
+    throughput = jnp.ones((R, 3), f32)
+    ray_pdf = jnp.ones((R,), f32)
+    alive = jnp.ones((R,), bool)
+
+    if scene.has_point_lights:
+        pl_t, pl_color = intersect_point_light_spheres(
+            scene.point_lights, cfg.point_light_radius, o, d, t_min, t_max
+        )
+        rays_cast += f32(R)
+
+    geom = scene.geometry
+    mats = scene.materials
+    sun_dir = math3d.normalize(-scene.direct_light.direction[:3])
+    sun_color = scene.direct_light.color[:3]
+
+    for bounce in range(cfg.max_bounce_count):
+        # --- primary point-light sphere short-circuit (:354-359) ---
+        if bounce == 0 and scene.has_point_lights:
+            pl_hit = (pl_t >= 0.0) & (hit.is_miss | (pl_t < hit.t)) & alive
+            irradiance = jnp.where(pl_hit[:, None], pl_color, irradiance)
+            alive &= ~pl_hit
+
+        # --- miss -> environment (:362-366) ---
+        env_col = sample_environment(scene.environment, d)
+        miss = hit.is_miss & alive
+        irradiance += jnp.where(
+            miss[:, None], env_col * throughput / ray_pdf[:, None], 0.0
+        )
+        alive &= ~miss
+
+        # --- surface unpack (UnpackMaterial, :84-119; textures in ops.texture) ---
+        attrs = fetch_surface_attributes(geom, hit)
+        mid = attrs.material_id
+        base_color = mats.base_color_factor[mid, :3]
+        roughness = mats.roughness_factor[mid]
+        metallic = mats.metallic_factor[mid]
+        emission = mats.emission_factor[mid, :3]
+        surface = bsdf_mod.make_surface(base_color, roughness, metallic, emission)
+        tbn = math3d.get_tbn_from_nt(attrs.normal, attrs.tangent)
+        n_shading = tbn[..., 2]
+
+        # --- emission (:370) ---
+        irradiance += jnp.where(
+            alive[:, None], surface.emission * throughput / ray_pdf[:, None], 0.0
+        )
+
+        p = o + d * hit.t[:, None]
+        wo = math3d.normalize(math3d.world_to_tangent(-d, tbn))
+        shadow_origin = p + n_shading * BIAS
+
+        # --- point-light NEE (:258-288, :376) ---
+        if scene.has_point_lights:
+            lights = scene.point_lights
+            idx, light_pdf, s0, s1 = sample_point_light(lights, n_shading, p, s0, s1)
+            lpos = lights.position[idx, :3]
+            lcol = lights.color[idx, :3]
+            delta = lpos - p
+            dist_sq = math3d.dot(delta, delta)
+            attenuation = math3d.rcp(dist_sq)
+            ldir = math3d.normalize(delta)
+            wi_l = math3d.world_to_tangent(ldir, tbn)
+            wh_l = math3d.normalize(wo + wi_l)
+            occluded = trace.trace_any(
+                scene, cfg, shadow_origin, ldir,
+                jnp.full((R,), RAY_MIN_T, f32), jnp.sqrt(dist_sq),
+            )
+            rays_cast += jnp.sum(alive.astype(f32))
+            pl_bsdf = bsdf_mod.evaluate_bsdf(surface, wo, wi_l, wh_l)
+            contrib = (
+                pl_bsdf
+                * math3d.cos_theta_tangent(wi_l)[:, None]
+                * lcol
+                * (attenuation / jnp.maximum(light_pdf, 1e-20))[:, None]
+            )
+            contrib = jnp.where((alive & ~occluded)[:, None], contrib, 0.0)
+            irradiance += contrib * throughput / ray_pdf[:, None]
+
+        # --- sun NEE (:291-312, :378) ---
+        sun_d = jnp.broadcast_to(sun_dir, (R, 3))
+        sun_occluded = trace.trace_any(
+            scene, cfg, shadow_origin, sun_d,
+            jnp.full((R,), RAY_MIN_T, f32), jnp.full((R,), RAY_MAX_T, f32),
+        )
+        rays_cast += jnp.sum(alive.astype(f32))
+        wi_s = math3d.world_to_tangent(sun_d, tbn)
+        wh_s = math3d.normalize(wo + wi_s)
+        sun_bsdf = bsdf_mod.evaluate_bsdf(surface, wo, wi_s, wh_s)
+        sun_contrib = sun_bsdf * math3d.cos_theta_tangent(wi_s)[:, None] * sun_color
+        sun_contrib = jnp.where((alive & ~sun_occluded)[:, None], sun_contrib, 0.0)
+        irradiance += sun_contrib * throughput / ray_pdf[:, None]
+
+        # --- BSDF sample (:380-391) ---
+        b, wi, pdf, s0, s1 = bsdf_mod.sample_bsdf(surface, wo, s0, s1)
+        dead = (pdf < EPSILON) | (math3d.dot(b, b) < EPSILON)
+        alive &= ~dead
+        step_throughput = b * math3d.cos_theta_tangent(wi)[:, None]
+        throughput = jnp.where(alive[:, None], throughput * step_throughput, throughput)
+        ray_pdf = jnp.where(alive, ray_pdf * pdf, ray_pdf)
+
+        # --- Russian roulette (:393-401) ---
+        if bounce >= cfg.min_bounce_count:
+            threshold = jnp.maximum(
+                cfg.rr_min_threshold, 1.0 - math3d.max_component(throughput)
+            )
+            rr, s0, s1 = rng.next_float(s0, s1)
+            killed = rr < threshold
+            alive &= ~killed
+            throughput = jnp.where(
+                alive[:, None], throughput / (1.0 - threshold)[:, None], throughput
+            )
+
+        # --- next segment (:403-409) ---
+        if bounce + 1 < cfg.max_bounce_count:
+            o = p
+            d = math3d.tangent_to_world(wi, tbn)
+            t_min = jnp.full((R,), RAY_MIN_T, f32)
+            # dead rays get a zero-length window so traversal exits immediately
+            t_max = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
+            hit = trace.trace_closest(
+                scene, cfg, o, d, t_min, t_max, cull_backface=True
+            )
+            rays_cast += jnp.sum(alive.astype(f32))
+
+    color = math3d.tone_mapping(irradiance)  # :412 — tone-map THEN accumulate
+    return color, TraceStats(rays=rays_cast)

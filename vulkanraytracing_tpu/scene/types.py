@@ -1,0 +1,293 @@
+"""Device-side scene representation (SOA pytrees).
+
+This is the TPU counterpart of the reference's GPU scene objects:
+
+- ``ScenePT`` (ref: Source/Engine/Scene/ScenePT.hpp:9-45) — TLAS + material
+  UBO + bindless texture/geometry SSBOs bound as descriptor set 3
+  (SceneModel.cpp:1167-1243).  Here the same data is a pytree of flat device
+  arrays; "bindless SSBO arrays indexed by instanceId" become pre-flattened
+  world-space triangle attribute arrays indexed by a global triangle id,
+  which is what a gather-based TPU kernel wants.
+- materials mirror ``MaterialRT`` (ref: Source/Shaders/Common/RayTracing.h:10-25),
+- point lights mirror ``PointLight`` (ref: Source/Shaders/Common/Common.h:9-19)
+  with color pre-multiplied by intensity (SceneModel.cpp:581-585),
+- the TLAS instance flags ForceOpaque / TriangleFacingCullDisable
+  (SceneModel.cpp:791-805) become per-triangle booleans.
+
+Everything is a NamedTuple so the whole scene is a jit-able pytree that
+``jax.device_put`` can shard or replicate over a mesh.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vulkanraytracing_tpu.core import math3d
+
+
+class TraceGeometry(NamedTuple):
+    """World-space triangle soup with per-corner shading attributes.
+
+    The TLAS/BLAS instancing of the reference (SceneModel.cpp:870-909) is
+    resolved ("flattened") at build time for static scenes: every instance's
+    triangles are pre-transformed to world space.  ``accel.tlas`` keeps the
+    two-level path for animated instances.
+    """
+
+    v0: jnp.ndarray  # (T, 3) f32 — first vertex
+    e1: jnp.ndarray  # (T, 3) f32 — v1 - v0
+    e2: jnp.ndarray  # (T, 3) f32 — v2 - v0
+    n0: jnp.ndarray  # (T, 3) f32 — per-corner shading normals (world space)
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    t0: jnp.ndarray  # (T, 3) f32 — per-corner tangents (world space)
+    t1: jnp.ndarray
+    t2: jnp.ndarray
+    uv0: jnp.ndarray  # (T, 2) f32
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    material_id: jnp.ndarray     # (T,) i32
+    cull_disable: jnp.ndarray    # (T,) bool — doubleSided material => no backface cull
+    # Static visibility-blocker flag: True if a shadow/material ray should
+    # treat this triangle as potentially opaque.  For untextured materials
+    # this fully resolves the alpha test (alpha = baseColorFactor.a vs
+    # alphaCutoff, RayGen.rgen:163-174); textured cutouts additionally get a
+    # dynamic alpha test at shading time.
+    opaque: jnp.ndarray          # (T,) bool
+
+    @property
+    def num_triangles(self) -> int:
+        return self.v0.shape[0]
+
+    def geometric_normal(self) -> jnp.ndarray:
+        return math3d.normalize(jnp.cross(self.e1, self.e2))
+
+
+class Materials(NamedTuple):
+    """SOA MaterialRT (ref: Common/RayTracing.h:10-25)."""
+
+    base_color_factor: jnp.ndarray          # (M, 4) f32
+    emission_factor: jnp.ndarray            # (M, 4) f32
+    roughness_factor: jnp.ndarray           # (M,) f32
+    metallic_factor: jnp.ndarray            # (M,) f32
+    normal_scale: jnp.ndarray               # (M,) f32
+    alpha_cutoff: jnp.ndarray               # (M,) f32
+    base_color_texture: jnp.ndarray         # (M,) i32, -1 = none
+    roughness_metallic_texture: jnp.ndarray  # (M,) i32
+    normal_texture: jnp.ndarray             # (M,) i32
+    emission_texture: jnp.ndarray           # (M,) i32
+
+    @property
+    def count(self) -> int:
+        return self.base_color_factor.shape[0]
+
+
+class PointLights(NamedTuple):
+    """Ref: Common/Common.h PointLight{vec4 position, vec4 color}; color rgb
+    is pre-multiplied by intensity (SceneModel.cpp:581-585)."""
+
+    position: jnp.ndarray  # (L, 4) f32
+    color: jnp.ndarray     # (L, 4) f32
+
+    @property
+    def count(self) -> int:
+        return self.position.shape[0]
+
+
+class DirectLight(NamedTuple):
+    """Ref: Common/Common.h DirectLight{vec4 direction, vec4 color} — the
+    analytic sun extracted from the environment panorama."""
+
+    direction: jnp.ndarray  # (4,) f32
+    color: jnp.ndarray      # (4,) f32
+
+
+class Environment(NamedTuple):
+    """HDR environment.  The reference converts the panorama to a <=1024^2
+    cubemap (Environment.cpp:11-25) and samples that; we sample the
+    equirect panorama directly (same mapping as PanoramaToCube.comp:25-30)
+    which avoids the cube resample entirely."""
+
+    panorama: jnp.ndarray  # (H, W, 3) f32 linear radiance
+
+
+class BVH(NamedTuple):
+    """Flattened 2-wide BVH (see accel.lbvh).  ``nodes_*`` are indexed by
+    internal-node id; children with bit 31 set are leaves over the
+    morton-sorted triangle order."""
+
+    child_aabb_lo: jnp.ndarray  # (N, 2, 3) f32
+    child_aabb_hi: jnp.ndarray  # (N, 2, 3) f32
+    child_index: jnp.ndarray    # (N, 2) i32 — >=0 internal node, <0 leaf: tri = ~idx
+    tri_order: jnp.ndarray      # (T,) i32 — morton-sorted triangle ids
+
+
+class Scene(NamedTuple):
+    """The full renderable scene — analog of ScenePT + Environment +
+    DirectLight bound together (Engine.cpp:106-136 ownership)."""
+
+    geometry: TraceGeometry
+    materials: Materials
+    environment: Environment
+    direct_light: DirectLight
+    point_lights: Optional[PointLights]
+    bvh: Optional[BVH]
+
+    @property
+    def has_point_lights(self) -> bool:
+        return self.point_lights is not None and self.point_lights.count > 0
+
+
+def make_trace_geometry(
+    positions: np.ndarray,      # (V, 3)
+    indices: np.ndarray,        # (T, 3) int
+    normals: np.ndarray | None = None,
+    tangents: np.ndarray | None = None,
+    uvs: np.ndarray | None = None,
+    material_id: np.ndarray | int = 0,
+    cull_disable: np.ndarray | bool = False,
+    opaque: np.ndarray | bool = True,
+    dtype=jnp.float32,
+) -> TraceGeometry:
+    """Assemble SOA trace geometry from indexed vertex data.
+
+    Generates flat normals / arbitrary tangents / zero uvs when attributes
+    are missing, mirroring SceneModel.cpp:223-302 (attribute generation)."""
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int64).reshape(-1, 3)
+    t = indices.shape[0]
+
+    p0 = positions[indices[:, 0]]
+    p1 = positions[indices[:, 1]]
+    p2 = positions[indices[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+
+    if normals is None:
+        gn = np.cross(e1, e2)
+        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        n0 = n1 = n2 = gn
+    else:
+        normals = np.asarray(normals, np.float32)
+        n0, n1, n2 = (normals[indices[:, k]] for k in range(3))
+
+    if tangents is None:
+        # arbitrary frame; matches GetTBN(N)-style fallback
+        ref_axis = np.where(
+            np.abs(n0[:, 1:2]) < 0.99,
+            np.array([[0.0, 1.0, 0.0]], np.float32),
+            np.array([[1.0, 0.0, 0.0]], np.float32),
+        )
+        t0_ = np.cross(n0, ref_axis)
+        t0_ /= np.maximum(np.linalg.norm(t0_, axis=-1, keepdims=True), 1e-20)
+        t0 = t1 = t2 = t0_
+    else:
+        tangents = np.asarray(tangents, np.float32)[..., :3]
+        t0, t1, t2 = (tangents[indices[:, k]] for k in range(3))
+
+    if uvs is None:
+        uv0 = uv1 = uv2 = np.zeros((t, 2), np.float32)
+    else:
+        uvs = np.asarray(uvs, np.float32)
+        uv0, uv1, uv2 = (uvs[indices[:, k]] for k in range(3))
+
+    material_id = np.broadcast_to(np.asarray(material_id, np.int32), (t,))
+    cull_disable = np.broadcast_to(np.asarray(cull_disable, bool), (t,))
+    opaque = np.broadcast_to(np.asarray(opaque, bool), (t,))
+
+    as_dev = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+    return TraceGeometry(
+        v0=as_dev(p0), e1=as_dev(e1), e2=as_dev(e2),
+        n0=as_dev(n0), n1=as_dev(n1), n2=as_dev(n2),
+        t0=as_dev(t0), t1=as_dev(t1), t2=as_dev(t2),
+        uv0=as_dev(uv0), uv1=as_dev(uv1), uv2=as_dev(uv2),
+        material_id=jnp.asarray(material_id),
+        cull_disable=jnp.asarray(cull_disable),
+        opaque=jnp.asarray(opaque),
+    )
+
+
+def concat_geometry(parts: list[TraceGeometry]) -> TraceGeometry:
+    """Concatenate triangle soups (instance flattening)."""
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+
+def default_materials(
+    base_color=(1.0, 1.0, 1.0, 1.0),
+    emission=(0.0, 0.0, 0.0, 1.0),
+    roughness=1.0,
+    metallic=0.0,
+) -> Materials:
+    """Single-material helper with glTF defaults."""
+    return make_materials(
+        base_color_factors=[base_color],
+        emission_factors=[emission],
+        roughness_factors=[roughness],
+        metallic_factors=[metallic],
+    )
+
+
+def make_materials(
+    base_color_factors,
+    emission_factors=None,
+    roughness_factors=None,
+    metallic_factors=None,
+    normal_scales=None,
+    alpha_cutoffs=None,
+    base_color_textures=None,
+    roughness_metallic_textures=None,
+    normal_textures=None,
+    emission_textures=None,
+) -> Materials:
+    base = np.asarray(base_color_factors, np.float32).reshape(-1, 4)
+    m = base.shape[0]
+
+    def _f(x, default):
+        if x is None:
+            return np.full((m,), default, np.float32)
+        return np.asarray(x, np.float32).reshape(m)
+
+    def _i(x):
+        if x is None:
+            return np.full((m,), -1, np.int32)
+        return np.asarray(x, np.int32).reshape(m)
+
+    emission = (
+        np.zeros((m, 4), np.float32)
+        if emission_factors is None
+        else np.asarray(emission_factors, np.float32).reshape(-1, 4)
+    )
+    return Materials(
+        base_color_factor=jnp.asarray(base),
+        emission_factor=jnp.asarray(emission),
+        roughness_factor=jnp.asarray(_f(roughness_factors, 1.0)),
+        metallic_factor=jnp.asarray(_f(metallic_factors, 1.0)),
+        normal_scale=jnp.asarray(_f(normal_scales, 1.0)),
+        alpha_cutoff=jnp.asarray(_f(alpha_cutoffs, 0.5)),
+        base_color_texture=jnp.asarray(_i(base_color_textures)),
+        roughness_metallic_texture=jnp.asarray(_i(roughness_metallic_textures)),
+        normal_texture=jnp.asarray(_i(normal_textures)),
+        emission_texture=jnp.asarray(_i(emission_textures)),
+    )
+
+
+def black_environment(size: int = 8) -> Environment:
+    return Environment(panorama=jnp.zeros((size, size * 2, 3), jnp.float32))
+
+
+def constant_environment(color, size: int = 8) -> Environment:
+    pano = jnp.broadcast_to(
+        jnp.asarray(color, jnp.float32), (size, size * 2, 3)
+    )
+    return Environment(panorama=pano)
+
+
+def no_direct_light() -> DirectLight:
+    return DirectLight(
+        direction=jnp.array([0.0, -1.0, 0.0, 0.0], jnp.float32),
+        color=jnp.zeros((4,), jnp.float32),
+    )
