@@ -1,0 +1,75 @@
+"""Benchmark: Mrays/s on the Sponza-scale scene at 1080p (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "Mrays/s/chip", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+vs_baseline is measured / 100 (the >=100 Mrays/s/chip north-star from
+BASELINE.json).  VRT_BENCH_SMALL=1 shrinks everything for a CPU smoke run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    small = bool(os.environ.get("VRT_BENCH_SMALL"))
+
+    from vulkanraytracing_tpu.accel import build_scene_bvh
+    from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode
+    from vulkanraytracing_tpu.pt.render import create_render_state, render_frame
+    from vulkanraytracing_tpu.scene.camera import Camera
+    from vulkanraytracing_tpu.scene.procedural import sponza_like_scene
+
+    if small:
+        width, height, tris, frames = 256, 144, 20000, 2
+    else:
+        width, height, tris, frames = 1920, 1080, 262144, 8
+
+    cfg = Config(
+        width=width,
+        height=height,
+        ray_chunk_size=1 << 22,  # whole frame as one wavefront
+        traversal=TraversalMode.BVH,
+        camera=CameraConfig(
+            position=(-16.0, 3.0, 0.0),
+            target=(0.0, 3.0, 0.0),
+            aspect_ratio=width / height,
+        ),
+    )
+    scene = sponza_like_scene(target_triangles=tris)
+    scene = build_scene_bvh(scene)
+    camera = Camera(cfg.camera).to_device()
+    state = create_render_state(cfg)
+
+    # warmup (compile + first frame)
+    state, stats = render_frame(scene, cfg, camera, state)
+    state.accumulation.block_until_ready()
+
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    for _ in range(frames):
+        state, stats = render_frame(scene, cfg, camera, state)
+        total_rays += float(stats.rays)
+    state.accumulation.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    mrays = total_rays / elapsed / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s/chip",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 100.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

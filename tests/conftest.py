@@ -1,19 +1,19 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-SURVEY.md section 4 item 3: sharded renders under
-``--xla_force_host_platform_device_count=8`` substitute for a real TPU pod;
-single-device tests just use device 0.
+SURVEY.md section 4 item 3: sharded renders over forced host CPU devices
+substitute for a real TPU pod; single-device tests just use device 0.
+
+Note: this box's site hook registers a remote-TPU PJRT plugin and forces
+``jax_platforms="axon,cpu"`` via config (which beats the JAX_PLATFORMS env
+var), so tests must override the *config* before first backend use.
 """
 
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,163 @@
+"""Integration tests for the path tracer: accumulation algebra, furnace
+test, analytic single-triangle render, backend consistency
+(SURVEY.md section 4 items 1-2)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vulkanraytracing_tpu.accel import build_scene_bvh
+from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode
+from vulkanraytracing_tpu.core import math3d
+from vulkanraytracing_tpu.pt.render import (
+    create_render_state,
+    render_frame,
+    render_progressive,
+    reset_accumulation,
+)
+from vulkanraytracing_tpu.scene.camera import Camera
+from vulkanraytracing_tpu.scene.procedural import (
+    cornell_box_scene,
+    single_triangle_scene,
+    triangle_soup_scene,
+)
+from vulkanraytracing_tpu.scene.types import (
+    constant_environment,
+    make_materials,
+    make_trace_geometry,
+    no_direct_light,
+    Scene,
+)
+
+
+def _cfg(**kw):
+    base = dict(
+        width=32,
+        height=32,
+        traversal=TraversalMode.BRUTE_FORCE,
+        camera=CameraConfig(aspect_ratio=1.0),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_single_triangle_center_hits():
+    """BASELINE.json config 0: primary rays hit the triangle at the image
+    center; background sees the constant environment."""
+    cfg = _cfg()
+    cam = Camera(cfg.camera).to_device()
+    scene = single_triangle_scene(env_color=(0.25, 0.5, 0.75))
+    state, _ = render_frame(scene, cfg, cam, create_render_state(cfg))
+    img = np.asarray(state.accumulation)
+    # corner pixel = tone-mapped env color
+    want_bg = np.asarray(math3d.tone_mapping(jnp.array([0.25, 0.5, 0.75])))
+    want_bg = np.round(np.clip(want_bg, 0, 1) * 255) / 255
+    np.testing.assert_allclose(img[0, 0], want_bg, atol=1.5 / 255)
+    # center differs from background (red-ish triangle)
+    assert img[16, 16, 0] > img[16, 16, 2]
+
+
+def test_accumulation_is_running_mean():
+    """(x + n*last)/(n+1) after n frames == mean of the frames
+    (with quantization off)."""
+    cfg = _cfg(parity_quantization=False)
+    cam = Camera(cfg.camera).to_device()
+    scene = single_triangle_scene()
+
+    frames = []
+    st = create_render_state(cfg)
+    for i in range(4):
+        st_i, _ = render_frame(
+            scene, cfg, cam,
+            create_render_state(cfg)._replace(accum_index=jnp.uint32(i)),
+        )
+        # each frame rendered alone from zeroed accum at index i: value/(i+1)...
+        # instead reconstruct per-frame value by scaling back
+        frames.append(np.asarray(st_i.accumulation) * (i + 1))
+        st, _ = render_frame(scene, cfg, cam, st)
+
+    mean = np.mean(frames, axis=0)
+    np.testing.assert_allclose(np.asarray(st.accumulation), mean, rtol=2e-4, atol=2e-6)
+
+
+def test_reset_accumulation_restarts():
+    cfg = _cfg()
+    cam = Camera(cfg.camera).to_device()
+    scene = single_triangle_scene()
+    st, _ = render_frame(scene, cfg, cam, create_render_state(cfg))
+    st2 = reset_accumulation(st)
+    st3, _ = render_frame(scene, cfg, cam, st2)
+    np.testing.assert_array_equal(
+        np.asarray(st.accumulation), np.asarray(st3.accumulation)
+    )
+
+
+def test_white_furnace():
+    """White-furnace energy conservation: a Lambert albedo-1 floor in a
+    unit-radiance environment must converge to irradiance 1.  Uses the
+    linear-HDR accumulation mode — the reference's tone-map-then-accumulate
+    is intentionally Jensen-biased (E[f(X)] != f(E[X])), which is parity
+    behavior, not an estimator property to test against."""
+    # big diffuse floor facing up, camera above looking down
+    positions = np.array(
+        [[-50, 0, -50], [50, 0, -50], [50, 0, 50], [-50, 0, 50]], np.float32
+    )
+    indices = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    geom = make_trace_geometry(positions, indices, cull_disable=True)
+    mats = make_materials(
+        base_color_factors=[(1.0, 1.0, 1.0, 1.0)],
+        roughness_factors=[1.0],
+        metallic_factors=[0.0],
+    )
+    scene = Scene(
+        geometry=geom,
+        materials=mats,
+        environment=constant_environment((1.0, 1.0, 1.0)),
+        direct_light=no_direct_light(),
+        point_lights=None,
+        bvh=None,
+    )
+    cfg = _cfg(
+        width=16, height=16, parity_quantization=False, max_bounce_count=8,
+        tone_map_before_accumulation=False,
+        camera=CameraConfig(
+            position=(0.0, 3.0, 0.0), target=(0.0, 0.0, 0.1), aspect_ratio=1.0
+        ),
+    )
+    cam = Camera(cfg.camera).to_device()
+    state, _ = render_progressive(scene, cfg, cam, spp=600)
+    img = np.asarray(state.accumulation)
+    # The reference BSDF is single-scatter GGX with a fixed 0.04 dielectric
+    # F0 and Vis_Schlick k=a/2 — measured albedo of that BSDF at roughness 1
+    # is ~0.974, not 1.0 (no multiple-scattering compensation).  The furnace
+    # asserts the *estimator* reproduces that albedo, not an idealized 1.
+    assert 0.95 < img.mean() < 1.005, img.mean()
+
+
+def test_bvh_and_brute_render_identically():
+    """The two trace backends (the reference's eRayTracing/eRayQueries
+    analog) must produce the same image on the same scene."""
+    cam_cfg = CameraConfig(
+        position=(0.0, 0.0, 3.2), aspect_ratio=1.0, x_fov=float(np.radians(60.0))
+    )
+    scene = cornell_box_scene()
+    cfg_b = _cfg(camera=cam_cfg, traversal=TraversalMode.BRUTE_FORCE)
+    cam = Camera(cam_cfg).to_device()
+    st_brute, _ = render_frame(scene, cfg_b, cam, create_render_state(cfg_b))
+
+    scene_bvh = build_scene_bvh(scene)
+    cfg_v = _cfg(camera=cam_cfg, traversal=TraversalMode.BVH)
+    st_bvh, _ = render_frame(scene_bvh, cfg_v, cam, create_render_state(cfg_v))
+
+    a = np.asarray(st_brute.accumulation)
+    b = np.asarray(st_bvh.accumulation)
+    # identical up to 8-bit quantization (float assoc. differences only)
+    assert np.mean(np.abs(a - b)) < 1e-3
+    assert np.max(np.abs(a - b)) <= 2.5 / 255
+
+
+def test_no_nans_on_soup():
+    cfg = _cfg(traversal=TraversalMode.BVH)
+    cam = Camera(cfg.camera).to_device()
+    scene = build_scene_bvh(triangle_soup_scene(3000, seed=11))
+    st, _ = render_frame(scene, cfg, cam, create_render_state(cfg))
+    assert not np.isnan(np.asarray(st.accumulation)).any()

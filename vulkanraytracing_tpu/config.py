@@ -25,12 +25,13 @@ class RenderMode(enum.Enum):
 class TraversalMode(enum.Enum):
     """Which trace backend to use — the analog of the reference's compile-time
     PathTracingMode::{eRayTracing, eRayQueries} backend switch
-    (Source/Engine/Config.hpp:10-14,33): two interchangeable implementations
-    of the same estimator."""
+    (Source/Engine/Config.hpp:10-14,33): interchangeable implementations of
+    the same trace semantics."""
 
-    BRUTE_FORCE = "brute_force"  # O(R*T) tiled Moller-Trumbore, tiny scenes/tests
-    BVH = "bvh"                  # LBVH + vectorized XLA traversal
-    BVH_PALLAS = "bvh_pallas"    # LBVH + Pallas traversal kernel (hot path)
+    BRUTE_FORCE = "brute_force"    # O(R*T) tiled Moller-Trumbore, tiny scenes/tests
+    BVH = "bvh"                    # LBVH + packet traversal (production)
+    BVH_PER_RAY = "bvh_per_ray"    # LBVH + per-ray lockstep traversal (oracle)
+    BVH_PALLAS = "bvh_pallas"      # LBVH + Pallas traversal kernel
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +70,11 @@ class Config:
     # reproduces that 8-bit round trip; disable for a higher-quality
     # float32 accumulator (a conscious divergence, see SURVEY.md section 7).
     parity_quantization: bool = True
+    # Tone-map each sample BEFORE accumulation (RayGen.rgen:412-413) — the
+    # reference behavior, which biases the converged image (Jensen gap of the
+    # concave filmic curve).  False = accumulate linear HDR radiance and
+    # tone-map only at display (the flagged quality mode from SURVEY.md s7).
+    tone_map_before_accumulation: bool = True
 
     # --- lights ---
     point_light_radius: float = 0.05  # ref: Config.hpp:35 kPointLightRadius

@@ -155,30 +155,36 @@ def pathtrace(
     width: int,
     height: int,
     accum_index: Array,
+    valid: Array | None = None,
 ) -> tuple[Array, TraceStats]:
     """Trace one sample for each pixel in (px, py); returns tone-mapped color
-    (R, 3) — the RayGen.rgen main() body, vectorized."""
+    (R, 3) — the RayGen.rgen main() body, vectorized.
+
+    ``valid`` masks out padding lanes (pixels outside the image from tile
+    rounding): they neither trace nor count toward ray stats."""
     R = px.shape[0]
     f32 = jnp.float32
+    if valid is None:
+        valid = jnp.ones((R,), bool)
 
     s0, s1 = rng.pixel_seed(px, py, accum_index)
     o, d = primary_rays(camera, px, py, width, height, s0, s1)
     t_min = jnp.full((R,), camera.z_near, f32)
-    t_max = jnp.full((R,), camera.z_far, f32)
+    t_max = jnp.where(valid, camera.z_far, 0.0)
 
-    rays_cast = f32(R)
+    rays_cast = jnp.sum(valid.astype(f32))
     hit = trace.trace_closest(scene, cfg, o, d, t_min, t_max, cull_backface=True)
 
     irradiance = jnp.zeros((R, 3), f32)
     throughput = jnp.ones((R, 3), f32)
     ray_pdf = jnp.ones((R,), f32)
-    alive = jnp.ones((R,), bool)
+    alive = valid
 
     if scene.has_point_lights:
         pl_t, pl_color = intersect_point_light_spheres(
             scene.point_lights, cfg.point_light_radius, o, d, t_min, t_max
         )
-        rays_cast += f32(R)
+        rays_cast += jnp.sum(valid.astype(f32))
 
     geom = scene.geometry
     mats = scene.materials
@@ -234,7 +240,9 @@ def pathtrace(
             wh_l = math3d.normalize(wo + wi_l)
             occluded = trace.trace_any(
                 scene, cfg, shadow_origin, ldir,
-                jnp.full((R,), RAY_MIN_T, f32), jnp.sqrt(dist_sq),
+                jnp.full((R,), RAY_MIN_T, f32),
+                jnp.where(alive, jnp.sqrt(dist_sq), 0.0),
+                reorder=bounce > 0,
             )
             rays_cast += jnp.sum(alive.astype(f32))
             pl_bsdf = bsdf_mod.evaluate_bsdf(surface, wo, wi_l, wh_l)
@@ -251,7 +259,9 @@ def pathtrace(
         sun_d = jnp.broadcast_to(sun_dir, (R, 3))
         sun_occluded = trace.trace_any(
             scene, cfg, shadow_origin, sun_d,
-            jnp.full((R,), RAY_MIN_T, f32), jnp.full((R,), RAY_MAX_T, f32),
+            jnp.full((R,), RAY_MIN_T, f32),
+            jnp.where(alive, f32(RAY_MAX_T), f32(0.0)),
+            reorder=bounce > 0,
         )
         rays_cast += jnp.sum(alive.astype(f32))
         wi_s = math3d.world_to_tangent(sun_d, tbn)
@@ -289,9 +299,13 @@ def pathtrace(
             # dead rays get a zero-length window so traversal exits immediately
             t_max = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
             hit = trace.trace_closest(
-                scene, cfg, o, d, t_min, t_max, cull_backface=True
+                scene, cfg, o, d, t_min, t_max, cull_backface=True,
+                reorder=True,
             )
             rays_cast += jnp.sum(alive.astype(f32))
 
-    color = math3d.tone_mapping(irradiance)  # :412 — tone-map THEN accumulate
+    if cfg.tone_map_before_accumulation:
+        color = math3d.tone_mapping(irradiance)  # :412 — tone-map THEN accumulate
+    else:
+        color = irradiance  # linear-HDR mode: display applies the curve
     return color, TraceStats(rays=rays_cast)

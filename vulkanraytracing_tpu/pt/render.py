@@ -29,6 +29,38 @@ from vulkanraytracing_tpu.scene.camera import CameraPT
 from vulkanraytracing_tpu.scene.types import Scene
 
 
+TILE = 16  # pixels per tile side; TILE*TILE == packet lane count
+
+
+def tile_pixel_coords(width: int, rows: int, row0: int = 0):
+    """Pixel coordinates in 16x16-tile order (the TPU analog of the
+    reference's thread-group swizzle, Compute/ThreadGroupTiling.glsl:18-69):
+    packets of 256 consecutive rays form one square screen tile, which is
+    what makes packet traversal coherent.
+
+    Returns (px, py, valid, tiles_y, tiles_x) covering rows
+    [row0, row0+rows) padded up to whole tiles."""
+    tx = -(-width // TILE)
+    ty = -(-rows // TILE)
+    n = tx * ty * TILE * TILE
+    t = jnp.arange(n, dtype=jnp.uint32)
+    tile = t >> jnp.uint32(8)
+    lane = t & jnp.uint32(255)
+    tile_x = tile % tx
+    tile_y = tile // tx
+    px = tile_x * TILE + (lane & jnp.uint32(15))
+    py = jnp.uint32(row0) + tile_y * TILE + (lane >> jnp.uint32(4))
+    valid = (px < width) & (py < row0 + rows)
+    return px, py, valid, ty, tx
+
+
+def untile_image(colors: Array, width: int, rows: int, ty: int, tx: int) -> Array:
+    """(N, 3) tile-ordered colors -> (rows, width, 3) image crop."""
+    img = colors.reshape(ty, tx, TILE, TILE, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(ty * TILE, tx * TILE, 3)
+    return img[:rows, :width]
+
+
 class RenderState(NamedTuple):
     """Progressive accumulation state — serializable and shardable."""
 
@@ -73,24 +105,34 @@ def render_frame(
     display image — the reference writes the same value to both the
     accumulation image and the swapchain, RayGen.rgen:321-322)."""
     h, w = cfg.height, cfg.width
-    total = h * w
-    chunk = min(cfg.ray_chunk_size, total)
-    num_chunks = -(-total // chunk)
-    padded = num_chunks * chunk
+    px, py, valid, ty, tx = tile_pixel_coords(w, h)
+    total = px.shape[0]
 
-    pix = jnp.arange(padded, dtype=jnp.uint32)
-    px = (pix % w).reshape(num_chunks, chunk)
-    py = (pix // w).reshape(num_chunks, chunk)
+    chunk = min(max(cfg.ray_chunk_size, TILE * TILE), total)
+    chunk -= chunk % (TILE * TILE)  # whole packets per chunk
+    num_chunks = -(-total // chunk)
+    pad = num_chunks * chunk - total
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
 
     def body(args):
-        cx, cy = args
+        cx, cy, cv = args
         color, stats = pathtrace(
-            scene, cfg, camera, cx, cy, w, h, state.accum_index
+            scene, cfg, camera, cx, cy, w, h, state.accum_index, valid=cv
         )
         return color, stats.rays
 
-    colors, rays = jax.lax.map(body, (px, py))
-    value = colors.reshape(padded, 3)[:total].reshape(h, w, 3)
+    colors, rays = jax.lax.map(
+        body,
+        (
+            px.reshape(num_chunks, chunk),
+            py.reshape(num_chunks, chunk),
+            valid.reshape(num_chunks, chunk),
+        ),
+    )
+    value = untile_image(colors.reshape(-1, 3)[:total], w, h, ty, tx)
 
     n = state.accum_index.astype(jnp.float32)
     result = (value + n * state.accumulation) / (n + 1.0)
@@ -120,8 +162,16 @@ def render_progressive(
     return state, total_rays
 
 
-def to_display(state: RenderState) -> np.ndarray:
-    """Accumulated image -> uint8 HxWx3 (already tone-mapped + sRGB by the
-    filmic curve, Common.glsl:113-118)."""
-    img = np.asarray(state.accumulation)
+def to_display(state: RenderState, cfg: Config | None = None) -> np.ndarray:
+    """Accumulated image -> uint8 HxWx3.
+
+    In parity mode the accumulator is already display-ready (tone-mapped +
+    sRGB by the filmic curve, Common.glsl:113-118); in linear-HDR mode the
+    curve is applied here."""
+    img = state.accumulation
+    if cfg is not None and not cfg.tone_map_before_accumulation:
+        from vulkanraytracing_tpu.core.math3d import tone_mapping
+
+        img = tone_mapping(img)
+    img = np.asarray(img)
     return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)

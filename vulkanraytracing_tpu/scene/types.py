@@ -116,14 +116,22 @@ class Environment(NamedTuple):
 
 
 class BVH(NamedTuple):
-    """Flattened 2-wide BVH (see accel.lbvh).  ``nodes_*`` are indexed by
-    internal-node id; children with bit 31 set are leaves over the
-    morton-sorted triangle order."""
+    """Flattened 2-wide BVH with collapsed multi-triangle leaves
+    (see accel.lbvh).
 
-    child_aabb_lo: jnp.ndarray  # (N, 2, 3) f32
-    child_aabb_hi: jnp.ndarray  # (N, 2, 3) f32
-    child_index: jnp.ndarray    # (N, 2) i32 — >=0 internal node, <0 leaf: tri = ~idx
-    tri_order: jnp.ndarray      # (T,) i32 — morton-sorted triangle ids
+    Child encoding: idx >= 0 is an internal node id; idx < 0 is a leaf over
+    the morton-sorted triangle order with ``packed = ~idx``,
+    ``start = packed >> 4``, ``count = packed & 15``.
+    """
+
+    nodes: jnp.ndarray        # (N, 16) f32 packed: c0.lo(3) c0.hi(3)
+    #                           c1.lo(3) c1.hi(3) c0.idx c1.idx pad pad
+    #                           (idx slots are bitcast int32)
+    child_index: jnp.ndarray  # (N, 2) i32 — same as slots 12:14, for tools
+    tris: jnp.ndarray         # (T, 12) f32 packed: v0(3) e1(3) e2(3)
+    #                           flags(bitcast i32: bit0 cull_disable,
+    #                           bit1 opaque) pad pad
+    tri_order: jnp.ndarray    # (T,) i32 — morton-sorted triangle ids
 
 
 class Scene(NamedTuple):
