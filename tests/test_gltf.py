@@ -1,0 +1,248 @@
+"""glTF loader tests against synthesized assets (the reference ships no
+test assets; golden-value checks per SURVEY.md section 4)."""
+
+import base64
+import json
+import struct
+
+import numpy as np
+
+from vulkanraytracing_tpu.scene import gltf
+
+
+def _b64(data: bytes) -> str:
+    return "data:application/octet-stream;base64," + base64.b64encode(data).decode()
+
+
+def _tri_gltf(
+    transform=None,
+    with_normals=False,
+    with_uvs=False,
+    material=None,
+    extra_nodes=None,
+    extensions=None,
+    cameras=None,
+    rotation=None,
+):
+    positions = np.array(
+        [[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32
+    )
+    indices = np.array([0, 1, 2], np.uint16)
+    blobs = [positions.tobytes(), indices.tobytes() + b"\x00\x00"]
+    accessors = [
+        {
+            "bufferView": 0, "componentType": 5126, "count": 3,
+            "type": "VEC3", "min": [-1, -1, 0], "max": [1, 1, 0],
+        },
+        {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+    ]
+    attributes = {"POSITION": 0}
+    views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": len(blobs[0])},
+        {"buffer": 0, "byteOffset": len(blobs[0]), "byteLength": 6},
+    ]
+    offset = len(blobs[0]) + len(blobs[1])
+    if with_normals:
+        normals = np.tile([[0, 0, 1]], (3, 1)).astype(np.float32)
+        blobs.append(normals.tobytes())
+        views.append({"buffer": 0, "byteOffset": offset, "byteLength": 36})
+        accessors.append(
+            {"bufferView": len(views) - 1, "componentType": 5126, "count": 3, "type": "VEC3"}
+        )
+        attributes["NORMAL"] = len(accessors) - 1
+        offset += 36
+    if with_uvs:
+        uvs = np.array([[0, 0], [1, 0], [0.5, 1]], np.float32)
+        blobs.append(uvs.tobytes())
+        views.append({"buffer": 0, "byteOffset": offset, "byteLength": 24})
+        accessors.append(
+            {"bufferView": len(views) - 1, "componentType": 5126, "count": 3, "type": "VEC2"}
+        )
+        attributes["TEXCOORD_0"] = len(accessors) - 1
+        offset += 24
+
+    blob = b"".join(blobs)
+    node = {"mesh": 0}
+    if transform is not None:
+        node.update(transform)
+    if rotation is not None:
+        node["rotation"] = rotation
+    nodes = [node] + (extra_nodes or [])
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": list(range(len(nodes)))}],
+        "nodes": nodes,
+        "meshes": [
+            {"primitives": [{"attributes": attributes, "indices": 1, "material": 0}]}
+        ],
+        "materials": [material or {}],
+        "buffers": [{"uri": _b64(blob), "byteLength": len(blob)}],
+        "bufferViews": views,
+        "accessors": accessors,
+    }
+    if extensions:
+        doc["extensions"] = extensions
+        doc["extensionsUsed"] = list(extensions)
+    if cameras:
+        doc["cameras"] = cameras
+    return doc
+
+
+def _write(tmp_path, doc, name="scene.gltf"):
+    p = tmp_path / name
+    p.write_text(json.dumps(doc))
+    return p
+
+
+def test_basic_triangle(tmp_path):
+    scene, camera, pool = gltf.load_scene(_write(tmp_path, _tri_gltf()))
+    assert scene.geometry.num_triangles == 1
+    assert camera is None and pool is None
+    v0 = np.asarray(scene.geometry.v0[0])
+    np.testing.assert_allclose(v0, [-1, -1, 0], atol=1e-6)
+    # generated flat normal +Z (CCW winding)
+    np.testing.assert_allclose(np.asarray(scene.geometry.n0[0]), [0, 0, 1], atol=1e-5)
+
+
+def test_node_transform_flattens_to_world(tmp_path):
+    doc = _tri_gltf(transform={"translation": [5, 0, 0], "scale": [2, 2, 2]})
+    scene, _, _ = gltf.load_scene(_write(tmp_path, doc))
+    np.testing.assert_allclose(
+        np.asarray(scene.geometry.v0[0]), [3, -2, 0], atol=1e-5
+    )
+
+
+def test_nested_hierarchy(tmp_path):
+    doc = _tri_gltf()
+    # wrap the mesh node in a parent with translation
+    doc["nodes"] = [
+        {"children": [1], "translation": [0, 10, 0]},
+        {"mesh": 0, "translation": [1, 0, 0]},
+    ]
+    doc["scenes"] = [{"nodes": [0]}]
+    scene, _, _ = gltf.load_scene(_write(tmp_path, doc))
+    np.testing.assert_allclose(
+        np.asarray(scene.geometry.v0[0]), [0, 9, 0], atol=1e-5
+    )
+
+
+def test_material_conversion(tmp_path):
+    material = {
+        "pbrMetallicRoughness": {
+            "baseColorFactor": [0.5, 0.25, 0.125, 1.0],
+            "roughnessFactor": 0.3,
+            "metallicFactor": 0.8,
+        },
+        "emissiveFactor": [1.0, 2.0, 3.0],
+        "alphaMode": "OPAQUE",
+        "doubleSided": True,
+    }
+    scene, _, _ = gltf.load_scene(_write(tmp_path, _tri_gltf(material=material)))
+    m = scene.materials
+    np.testing.assert_allclose(
+        np.asarray(m.base_color_factor[0]), [0.5, 0.25, 0.125, 1.0]
+    )
+    assert abs(float(m.roughness_factor[0]) - 0.3) < 1e-6
+    assert abs(float(m.metallic_factor[0]) - 0.8) < 1e-6
+    np.testing.assert_allclose(np.asarray(m.emission_factor[0, :3]), [1, 2, 3])
+    assert bool(scene.geometry.cull_disable[0])  # doubleSided
+
+
+def test_point_lights(tmp_path):
+    extensions = {
+        "KHR_lights_punctual": {
+            "lights": [
+                {"type": "point", "color": [1.0, 0.5, 0.25], "intensity": 4.0}
+            ]
+        }
+    }
+    doc = _tri_gltf(
+        extra_nodes=[
+            {
+                "translation": [1, 2, 3],
+                "extensions": {"KHR_lights_punctual": {"light": 0}},
+            }
+        ],
+        extensions=extensions,
+    )
+    scene, _, _ = gltf.load_scene(_write(tmp_path, doc))
+    assert scene.point_lights is not None
+    np.testing.assert_allclose(
+        np.asarray(scene.point_lights.position[0, :3]), [1, 2, 3]
+    )
+    # color * intensity (SceneModel.cpp:581-585)
+    np.testing.assert_allclose(
+        np.asarray(scene.point_lights.color[0, :3]), [4.0, 2.0, 1.0]
+    )
+
+
+def test_camera_conversion(tmp_path):
+    cameras = [
+        {
+            "type": "perspective",
+            "perspective": {
+                "yfov": 0.8, "aspectRatio": 2.0, "znear": 0.1, "zfar": 500.0
+            },
+        }
+    ]
+    doc = _tri_gltf(
+        extra_nodes=[{"camera": 0, "translation": [0, 0, 9]}], cameras=cameras
+    )
+    scene, cam, _ = gltf.load_scene(_write(tmp_path, doc))
+    assert cam is not None
+    assert abs(cam.x_fov - 0.8 * 2.0) < 1e-6  # xFov = yfov * aspect
+    assert cam.position == (0.0, 0.0, 9.0)
+    # default direction -Z (kForward)
+    assert cam.target[2] < cam.position[2]
+
+
+def test_tangent_generation_from_uvs(tmp_path):
+    doc = _tri_gltf(with_normals=True, with_uvs=True)
+    scene, _, _ = gltf.load_scene(_write(tmp_path, doc))
+    t = np.asarray(scene.geometry.t0[0])
+    # uv.x grows along +X -> tangent ~ +X
+    assert t[0] > 0.9, t
+
+
+def test_glb_container(tmp_path):
+    doc = _tri_gltf()
+    # move buffer into the GLB BIN chunk
+    blob = base64.b64decode(doc["buffers"][0]["uri"].split(",", 1)[1])
+    doc["buffers"] = [{"byteLength": len(blob)}]
+    js = json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    blob += b"\x00" * ((4 - len(blob) % 4) % 4)
+    glb = (
+        struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(js) + 8 + len(blob))
+        + struct.pack("<II", len(js), 0x4E4F534A) + js
+        + struct.pack("<II", len(blob), 0x004E4942) + blob
+    )
+    p = tmp_path / "scene.glb"
+    p.write_bytes(glb)
+    scene, _, _ = gltf.load_scene(p)
+    assert scene.geometry.num_triangles == 1
+
+
+def test_loaded_scene_renders(tmp_path):
+    """End-to-end: a loaded glTF renders through the path tracer."""
+    import jax.numpy as jnp
+
+    from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode
+    from vulkanraytracing_tpu.pt.render import create_render_state, render_frame
+    from vulkanraytracing_tpu.scene.camera import Camera
+    from vulkanraytracing_tpu.scene.types import constant_environment
+
+    material = {
+        "pbrMetallicRoughness": {"baseColorFactor": [0.9, 0.2, 0.1, 1.0]},
+        "emissiveFactor": [0.4, 0.1, 0.0],
+    }
+    scene, _, _ = gltf.load_scene(_write(tmp_path, _tri_gltf(material=material)))
+    scene = scene._replace(environment=constant_environment((0.1, 0.1, 0.3)))
+    cfg = Config(width=32, height=32, traversal=TraversalMode.BRUTE_FORCE,
+                 camera=CameraConfig(aspect_ratio=1.0))
+    cam = Camera(cfg.camera).to_device()
+    st, _ = render_frame(scene, cfg, cam, create_render_state(cfg))
+    img = np.asarray(st.accumulation)
+    assert not np.isnan(img).any()
+    assert img[16, 16, 0] > img[16, 16, 2]  # red triangle at center

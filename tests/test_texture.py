@@ -1,0 +1,147 @@
+"""Texture pool sampling + textured materials + alpha-tested visibility."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode
+from vulkanraytracing_tpu.core import math3d
+from vulkanraytracing_tpu.ops import trace
+from vulkanraytracing_tpu.ops.texture import (
+    WRAP_CLAMP,
+    WRAP_REPEAT,
+    build_texture_pool,
+    sample_pool,
+)
+from vulkanraytracing_tpu.pt.render import create_render_state, render_frame
+from vulkanraytracing_tpu.scene.camera import Camera
+from vulkanraytracing_tpu.scene.types import (
+    Scene,
+    constant_environment,
+    make_materials,
+    make_trace_geometry,
+    no_direct_light,
+)
+
+
+def _pool(images, wraps=None, size=8):
+    return build_texture_pool(images, wraps, size=size)
+
+
+def test_sample_pool_solid_colors():
+    red = np.zeros((8, 8, 4), np.uint8)
+    red[..., 0] = 255
+    red[..., 3] = 255
+    blue = np.zeros((8, 8, 4), np.uint8)
+    blue[..., 2] = 255
+    blue[..., 3] = 255
+    pool = _pool([red, blue])
+    uv = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (16, 2)).astype(np.float32))
+    r = np.asarray(sample_pool(pool, jnp.zeros(16, jnp.int32), uv))
+    b = np.asarray(sample_pool(pool, jnp.ones(16, jnp.int32), uv))
+    np.testing.assert_allclose(r[:, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(b[:, 2], 1.0, atol=1e-6)
+
+
+def test_wrap_modes():
+    # gradient texture: left half dark, right half bright
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[:, 4:, :3] = 200
+    img[..., 3] = 255
+    pool_rep = _pool([img], wraps=[(WRAP_REPEAT, WRAP_REPEAT)])
+    pool_clamp = _pool([img], wraps=[(WRAP_CLAMP, WRAP_CLAMP)])
+    # u = 1.2 wraps to 0.2 (dark) under repeat, clamps to 1 (bright) under clamp
+    uv = jnp.asarray(np.array([[1.2, 0.5]], np.float32))
+    tid = jnp.zeros(1, jnp.int32)
+    rep = float(np.asarray(sample_pool(pool_rep, tid, uv))[0, 0])
+    cl = float(np.asarray(sample_pool(pool_clamp, tid, uv))[0, 0])
+    assert rep < 0.3 and cl > 0.5, (rep, cl)
+
+
+def _textured_quad_scene(alpha_checker=False):
+    """A z=0 quad with uv in [0,1], one base color texture."""
+    positions = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    indices = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    geom = make_trace_geometry(
+        positions, indices, uvs=uvs,
+        cull_disable=True,
+        opaque=not alpha_checker,
+        alpha_test=alpha_checker,
+    )
+    # left half green opaque; right half red, transparent when alpha_checker
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[:, :8] = [0, 255, 0, 255]
+    img[:, 8:] = [255, 0, 0, 0 if alpha_checker else 255]
+    pool = _pool([img], size=16)
+    mats = make_materials(
+        base_color_factors=[(1.0, 1.0, 1.0, 1.0)],
+        roughness_factors=[1.0],
+        metallic_factors=[0.0],
+        base_color_textures=[0],
+        alpha_cutoffs=[0.5],
+    )
+    return Scene(
+        geometry=geom,
+        materials=mats,
+        environment=constant_environment((1.0, 1.0, 1.0)),
+        direct_light=no_direct_light(),
+        point_lights=None,
+        bvh=None,
+        textures=pool,
+    )
+
+
+def _cfg():
+    return Config(
+        width=32, height=32, traversal=TraversalMode.BRUTE_FORCE,
+        parity_quantization=False,
+        camera=CameraConfig(position=(0.0, 0.0, 3.0), aspect_ratio=1.0),
+    )
+
+
+def test_textured_base_color_renders():
+    from vulkanraytracing_tpu.pt.render import render_progressive
+
+    scene = _textured_quad_scene()
+    cfg = _cfg()
+    cam = Camera(cfg.camera).to_device()
+    st, _ = render_progressive(scene, cfg, cam, spp=8)
+    img = np.asarray(st.accumulation)
+    # quad spans roughly columns 11..21 at this fov; left half green, right red
+    left = img[16, 13]
+    right = img[16, 18]
+    assert left[1] > left[0], left
+    assert right[0] > right[1], right
+
+
+def test_alpha_cutout_visibility():
+    scene = _textured_quad_scene(alpha_checker=True)
+    cfg = _cfg()
+    # rays straight at the quad: right half (alpha 0) must pass through
+    o = jnp.asarray(np.array([[0.5, 0.0, 3.0], [-0.5, 0.0, 3.0]], np.float32))
+    d = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (2, 1)).astype(np.float32))
+    tmin = jnp.zeros(2)
+    tmax = jnp.full((2,), 100.0)
+    hit = trace.trace_closest(scene, cfg, o, d, tmin, tmax, cull_backface=False)
+    is_hit = np.asarray(hit.is_hit)
+    assert not is_hit[0], "transparent texel should not hit"
+    assert is_hit[1], "opaque texel should hit"
+
+    blocked = np.asarray(trace.trace_any(scene, cfg, o, d, tmin, tmax))
+    assert not blocked[0] and blocked[1]
+
+
+def test_alpha_cutout_through_bvh():
+    from vulkanraytracing_tpu.accel import build_scene_bvh
+
+    scene = build_scene_bvh(_textured_quad_scene(alpha_checker=True))
+    cfg = _cfg().replace(traversal=TraversalMode.BVH)
+    o = jnp.asarray(np.array([[0.5, 0.0, 3.0], [-0.5, 0.0, 3.0]], np.float32))
+    d = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (2, 1)).astype(np.float32))
+    hit = trace.trace_closest(
+        scene, cfg, o, d, jnp.zeros(2), jnp.full((2,), 100.0), cull_backface=False
+    )
+    is_hit = np.asarray(hit.is_hit)
+    assert not is_hit[0] and is_hit[1]

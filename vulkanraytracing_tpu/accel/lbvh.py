@@ -197,10 +197,14 @@ def refit_aabbs(
 
 
 def _pack_tris(geometry: TraceGeometry) -> Array:
-    """(T, 12) packed triangle records: v0, e1, e2, flags, pad, pad."""
+    """(T, 12) packed triangle records: v0, e1, e2, flags, pad, pad.
+
+    flags: bit0 cull_disable, bit1 opaque (commits), bit2 alpha_test
+    (candidate needing a texture alpha test)."""
     flags = (
         geometry.cull_disable.astype(_I32)
         | (geometry.opaque.astype(_I32) << 1)
+        | (geometry.alpha_test.astype(_I32) << 2)
     )
     flags_f = jax.lax.bitcast_convert_type(flags, jnp.float32)
     t = geometry.v0.shape[0]

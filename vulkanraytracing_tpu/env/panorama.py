@@ -88,6 +88,83 @@ def cube_direction(face: int, uv: Array) -> Array:
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
+def cube_face_uv(direction: Array) -> tuple[Array, Array]:
+    """Direction -> (face, uv) for cubemap sampling, inverting
+    cube_direction's face frames.  Vectorized over leading axes."""
+    x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+    # face selection: major axis + sign (order matches _FACES_N)
+    face = jnp.where(
+        (ax >= ay) & (ax >= az),
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(ay >= az, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    )
+    major = jnp.where(
+        (ax >= ay) & (ax >= az), ax, jnp.where(ay >= az, ay, az)
+    )
+    inv = 1.0 / jnp.maximum(major, 1e-20)
+    dn = direction * inv[..., None]
+    # project onto the face's T/B axes: s = dot(d/major, T), t = dot(..., B)
+    t_axis = _FACES_T[face]
+    b_axis = _FACES_B[face]
+    s = jnp.sum(dn * t_axis, axis=-1)
+    t = jnp.sum(dn * b_axis, axis=-1)
+    uv = jnp.stack([(s + 1.0) * 0.5, (t + 1.0) * 0.5], axis=-1)
+    return face, uv
+
+
+def sample_cube(cube: Array, direction: Array) -> Array:
+    """Bilinear cubemap sample; cube is (6, S, S, C).  Clamp-at-edges per
+    face (no seam filtering — matches a non-seamless sampler closely
+    enough for the prefiltered IBL lookups)."""
+    face, uv = cube_face_uv(direction)
+    s = cube.shape[1]
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, s - 1)
+    x1i = jnp.clip(x0i + 1, 0, s - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, s - 1)
+    y1i = jnp.clip(y0i + 1, 0, s - 1)
+
+    flat = cube.reshape(-1, cube.shape[-1])
+    base = face * (s * s)
+
+    def fetch(yy, xx):
+        return flat[base + yy * s + xx]
+
+    c00 = fetch(y0i, x0i)
+    c10 = fetch(y0i, x1i)
+    c01 = fetch(y1i, x0i)
+    c11 = fetch(y1i, x1i)
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_cube_mips(mips: tuple, direction: Array, lod: Array) -> Array:
+    """Trilinear sample across a prefiltered mip chain (tuple of
+    (6, s, s, C) cubes): the textureLod of the hybrid IBL reflection
+    lookup (Lighting.comp)."""
+    n = len(mips)
+    lod = jnp.clip(lod, 0.0, n - 1)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - lo.astype(jnp.float32))[..., None]
+    samples = jnp.stack(
+        [sample_cube(m, direction) for m in mips], axis=0
+    )  # (n, ..., C)
+    take = lambda idx: jnp.take_along_axis(  # noqa: E731
+        samples, idx[None, ..., None], axis=0
+    )[0]
+    s_lo = take(lo)
+    s_hi = take(jnp.minimum(lo + 1, n - 1))
+    return s_lo * (1.0 - frac) + s_hi * frac
+
+
 def panorama_to_cube(env: Environment, size: int) -> Array:
     """Render the panorama into a (6, size, size, 3) cubemap — the
     PanoramaToCube.comp compute pass as one jnp map."""

@@ -105,8 +105,10 @@ def _tile_hits(
     valid = jnp.abs(det) > eps
     if cull_backface:
         valid &= (det > eps) | cull_disable[None, :]
-    # Fully-transparent triangles (static alpha test failure) never hit.
-    valid &= opaque[None, :]
+    # hit candidates: opaque (commits) or alpha-tested (resolved by the
+    # trace.py alpha loop); statically-transparent tris never hit
+    alpha_test = sl(geom.alpha_test)
+    valid &= (opaque | alpha_test)[None, :]
     valid &= (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
     valid &= (t >= t_min[:, None]) & (t <= t_max[:, None])
 

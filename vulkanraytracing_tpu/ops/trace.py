@@ -24,6 +24,61 @@ def _root_bounds(bvh):
     return lo, hi
 
 
+# Transparency layers resolved per ray before giving up (the reference's
+# any-hit loop is unbounded, RayGen.rgen:142-176; 4 layers covers typical
+# foliage/cutout stacks).
+MAX_ALPHA_ITERS = 4
+
+
+def _hit_alpha(scene: Scene, hit: Hit):
+    """Alpha at a hit point: baseColorFactor.a * baseColorTexture.a
+    (AnyHit.rahit / TraceVisibilityRay semantics, RayGen.rgen:163-174)."""
+    import jax.numpy as jnp
+
+    from vulkanraytracing_tpu.core import math3d
+    from vulkanraytracing_tpu.ops.texture import TexturePool, sample_pool
+
+    geom = scene.geometry
+    mats = scene.materials
+    tri = hit.tri
+    bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
+    uv = math3d.bary_lerp(geom.uv0[tri], geom.uv1[tri], geom.uv2[tri], bary)
+    mid = geom.material_id[tri]
+    alpha = mats.base_color_factor[mid, 3]
+    tex = mats.base_color_texture[mid]
+    if scene.textures is not None:
+        pool = TexturePool(*scene.textures)
+        sampled = sample_pool(pool, tex, uv)
+        alpha = alpha * jnp.where(tex >= 0, sampled[..., 3], 1.0)
+    return alpha, mats.alpha_cutoff[mid]
+
+
+def _resolve_alpha(scene: Scene, trace_fn, hit: Hit, t_max) -> Hit:
+    """Re-trace past alpha-test hits whose sampled alpha < cutoff.
+
+    Bounded unrolled loop: each round re-traces only the failed lanes from
+    just beyond the rejected surface (ignoreIntersectionEXT semantics)."""
+    import jax.numpy as jnp
+
+    geom = scene.geometry
+    for _ in range(MAX_ALPHA_ITERS):
+        needs = hit.is_hit & geom.alpha_test[hit.tri]
+        alpha, cutoff = _hit_alpha(scene, hit)
+        fail = needs & (alpha < cutoff)
+        # continue failed lanes just past the rejected hit
+        new_tmin = hit.t * 1.0001 + 1e-4
+        new_tmax = jnp.where(fail, t_max, 0.0)
+        nxt = trace_fn(new_tmin, new_tmax)
+        hit = Hit(*[jnp.where(fail, n, h) for n, h in zip(nxt, hit)])
+    # any still-failing hit after the bounded loop is dropped (treated as
+    # transparent) rather than committed
+    needs = hit.is_hit & geom.alpha_test[hit.tri]
+    alpha, cutoff = _hit_alpha(scene, hit)
+    fail = needs & (alpha < cutoff)
+    big = jnp.float32(3.0e38)
+    return hit._replace(t=jnp.where(fail, big, hit.t))
+
+
 def trace_closest(
     scene: Scene,
     cfg: Config,
@@ -41,9 +96,18 @@ def trace_closest(
     otherwise be direction-incoherent."""
     mode = cfg.traversal
     if mode == TraversalMode.BRUTE_FORCE or scene.bvh is None:
-        return intersect.intersect_closest_brute(
+        hit = intersect.intersect_closest_brute(
             scene.geometry, o, d, t_min, t_max, cull_backface=cull_backface
         )
+        if scene.textures is not None:
+            def retrace(lo_t, hi_t):
+                return intersect.intersect_closest_brute(
+                    scene.geometry, o, d, lo_t, hi_t,
+                    cull_backface=cull_backface,
+                )
+
+            hit = _resolve_alpha(scene, retrace, hit, t_max)
+        return hit
     if mode == TraversalMode.BVH:
         from vulkanraytracing_tpu.ops import reorder as reorder_mod
         from vulkanraytracing_tpu.ops import traverse_packet
@@ -60,14 +124,35 @@ def trace_closest(
         )
         if reorder:
             hit = Hit(*reorder_mod.unapply_order(order, *hit))
+            o, d, t_min, t_max = reorder_mod.unapply_order(
+                order, o, d, t_min, t_max
+            )
+        if scene.textures is not None:
+            def retrace(lo_t, hi_t):
+                return traverse_packet.intersect_closest_packet(
+                    scene.geometry, scene.bvh, o, d, lo_t, hi_t,
+                    cull_backface=cull_backface,
+                )
+
+            hit = _resolve_alpha(scene, retrace, hit, t_max)
         return hit
     from vulkanraytracing_tpu.ops import traverse
 
-    return traverse.intersect_closest_bvh(
+    hit = traverse.intersect_closest_bvh(
         scene.geometry, scene.bvh, o, d, t_min, t_max,
         cull_backface=cull_backface,
         use_pallas=mode == TraversalMode.BVH_PALLAS,
     )
+    if scene.textures is not None:
+        def retrace(lo_t, hi_t):
+            return traverse.intersect_closest_bvh(
+                scene.geometry, scene.bvh, o, d, lo_t, hi_t,
+                cull_backface=cull_backface,
+                use_pallas=mode == TraversalMode.BVH_PALLAS,
+            )
+
+        hit = _resolve_alpha(scene, retrace, hit, t_max)
+    return hit
 
 
 def trace_any(
@@ -80,6 +165,14 @@ def trace_any(
     reorder: bool = False,
 ) -> Array:
     """Alpha-aware visibility query (TraceVisibilityRay, RayGen.rgen:133-184)."""
+    if scene.textures is not None:
+        # textured cutouts need per-hit alpha tests: reuse the closest-hit
+        # alpha loop (an occluder exists iff a committed hit survives it)
+        hit = trace_closest(
+            scene, cfg, o, d, t_min, t_max, cull_backface=False,
+            reorder=reorder,
+        )
+        return hit.is_hit
     mode = cfg.traversal
     if mode == TraversalMode.BRUTE_FORCE or scene.bvh is None:
         return intersect.intersect_any_brute(scene.geometry, o, d, t_min, t_max)

@@ -109,7 +109,7 @@ def _traverse(
                 tv0, te1, te2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
                 flags = jax.lax.bitcast_convert_type(rec[:, 9], i32)
                 cull_disable = (flags & 1) != 0
-                opaque = (flags & 2) != 0
+                candidate = (flags & 6) != 0  # opaque or alpha-tested
 
                 pvec = jnp.cross(d, te2)
                 mt_det = jnp.sum(te1 * pvec, axis=-1)
@@ -125,7 +125,7 @@ def _traverse(
                     & (jnp.abs(mt_det) > tiny)
                     & (mu >= 0.0) & (mv >= 0.0) & (mu + mv <= 1.0)
                     & (mt >= t_min) & (mt < best_t)
-                    & opaque
+                    & candidate
                 )
                 if cull_backface:
                     valid &= (mt_det > tiny) | cull_disable

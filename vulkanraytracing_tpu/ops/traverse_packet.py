@@ -219,13 +219,13 @@ def traverse_packets(
 
             flags = jax.lax.bitcast_convert_type(rec[:, :, :, 9], i32)  # (P, C, K)
             cull_disable = (flags & 1) != 0
-            opaque = (flags & 2) != 0
+            candidate = (flags & 6) != 0  # opaque or alpha-tested
             k_in_leaf = leaf_active[:, :, None] & (
                 k_iota[None, None, :] < count[:, :, None]
             )                                                # (P, C, K)
 
             tri_valid = (
-                (k_in_leaf & opaque)[..., None]
+                (k_in_leaf & candidate)[..., None]
                 & lane_live[:, None, None, :]
                 & (jnp.abs(det) > tiny)
                 & (mu >= 0.0) & (mv >= 0.0) & (mu + mv <= 1.0)

@@ -39,6 +39,7 @@ from vulkanraytracing_tpu.env.panorama import sample_environment
 from vulkanraytracing_tpu.ops import trace
 from vulkanraytracing_tpu.ops.intersect import fetch_surface_attributes
 from vulkanraytracing_tpu.pt import bsdf as bsdf_mod
+from vulkanraytracing_tpu.pt.surface import unpack_material
 from vulkanraytracing_tpu.scene.camera import CameraPT
 from vulkanraytracing_tpu.scene.types import PointLights, Scene
 
@@ -206,15 +207,11 @@ def pathtrace(
         )
         alive &= ~miss
 
-        # --- surface unpack (UnpackMaterial, :84-119; textures in ops.texture) ---
+        # --- surface unpack (UnpackMaterial, :84-119) ---
         attrs = fetch_surface_attributes(geom, hit)
-        mid = attrs.material_id
-        base_color = mats.base_color_factor[mid, :3]
-        roughness = mats.roughness_factor[mid]
-        metallic = mats.metallic_factor[mid]
-        emission = mats.emission_factor[mid, :3]
-        surface = bsdf_mod.make_surface(base_color, roughness, metallic, emission)
-        tbn = math3d.get_tbn_from_nt(attrs.normal, attrs.tangent)
+        unpacked = unpack_material(scene, attrs)
+        surface = unpacked.surface
+        tbn = unpacked.tbn
         n_shading = tbn[..., 2]
 
         # --- emission (:370) ---

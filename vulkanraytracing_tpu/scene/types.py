@@ -52,12 +52,15 @@ class TraceGeometry(NamedTuple):
     uv2: jnp.ndarray
     material_id: jnp.ndarray     # (T,) i32
     cull_disable: jnp.ndarray    # (T,) bool — doubleSided material => no backface cull
-    # Static visibility-blocker flag: True if a shadow/material ray should
-    # treat this triangle as potentially opaque.  For untextured materials
-    # this fully resolves the alpha test (alpha = baseColorFactor.a vs
-    # alphaCutoff, RayGen.rgen:163-174); textured cutouts additionally get a
-    # dynamic alpha test at shading time.
+    # Static visibility-blocker flag: True if a hit commits without an
+    # alpha test (the ForceOpaque instance flag, SceneModel.cpp:791-805;
+    # for untextured materials the alpha test resolves statically:
+    # alpha = baseColorFactor.a vs alphaCutoff, RayGen.rgen:163-174).
     opaque: jnp.ndarray          # (T,) bool
+    # True for textured cutout/blend triangles whose hits need a dynamic
+    # texture alpha test (the AnyHit.rahit / TraceVisibilityRay path);
+    # tris with neither flag never hit (statically transparent).
+    alpha_test: jnp.ndarray      # (T,) bool
 
     @property
     def num_triangles(self) -> int:
@@ -80,6 +83,9 @@ class Materials(NamedTuple):
     roughness_metallic_texture: jnp.ndarray  # (M,) i32
     normal_texture: jnp.ndarray             # (M,) i32
     emission_texture: jnp.ndarray           # (M,) i32
+    # used by the hybrid mode's G-buffer only (the raster Material of
+    # Hybrid/Hybrid.h has an occlusion slot; MaterialRT does not)
+    occlusion_texture: jnp.ndarray          # (M,) i32
 
     @property
     def count(self) -> int:
@@ -110,9 +116,18 @@ class Environment(NamedTuple):
     """HDR environment.  The reference converts the panorama to a <=1024^2
     cubemap (Environment.cpp:11-25) and samples that; we sample the
     equirect panorama directly (same mapping as PanoramaToCube.comp:25-30)
-    which avoids the cube resample entirely."""
+    which avoids the cube resample entirely.
+
+    The IBL fields mirror the reference's precomputed textures
+    (ImageBasedLighting.cpp:335-503): irradiance cube, GGX-prefiltered
+    reflection mip chain (mip = roughness level), and the split-sum BRDF
+    LUT; they are None until env.ibl.bake_ibl runs (only the hybrid render
+    mode consumes them)."""
 
     panorama: jnp.ndarray  # (H, W, 3) f32 linear radiance
+    irradiance: Optional[jnp.ndarray] = None   # (6, S, S, 3)
+    reflection: Optional[tuple] = None         # tuple of (6, s, s, 3) mips
+    brdf_lut: Optional[jnp.ndarray] = None     # (S, S, 2) scale/offset
 
 
 class BVH(NamedTuple):
@@ -144,6 +159,8 @@ class Scene(NamedTuple):
     direct_light: DirectLight
     point_lights: Optional[PointLights]
     bvh: Optional[BVH]
+    # bindless texture pool (ops.texture.TexturePool); None = untextured
+    textures: Optional[tuple] = None
 
     @property
     def has_point_lights(self) -> bool:
@@ -159,6 +176,7 @@ def make_trace_geometry(
     material_id: np.ndarray | int = 0,
     cull_disable: np.ndarray | bool = False,
     opaque: np.ndarray | bool = True,
+    alpha_test: np.ndarray | bool = False,
     dtype=jnp.float32,
 ) -> TraceGeometry:
     """Assemble SOA trace geometry from indexed vertex data.
@@ -206,6 +224,7 @@ def make_trace_geometry(
     material_id = np.broadcast_to(np.asarray(material_id, np.int32), (t,))
     cull_disable = np.broadcast_to(np.asarray(cull_disable, bool), (t,))
     opaque = np.broadcast_to(np.asarray(opaque, bool), (t,))
+    alpha_test = np.broadcast_to(np.asarray(alpha_test, bool), (t,))
 
     as_dev = lambda a: jnp.asarray(a, dtype)  # noqa: E731
     return TraceGeometry(
@@ -216,6 +235,7 @@ def make_trace_geometry(
         material_id=jnp.asarray(material_id),
         cull_disable=jnp.asarray(cull_disable),
         opaque=jnp.asarray(opaque),
+        alpha_test=jnp.asarray(alpha_test),
     )
 
 
@@ -250,6 +270,7 @@ def make_materials(
     roughness_metallic_textures=None,
     normal_textures=None,
     emission_textures=None,
+    occlusion_textures=None,
 ) -> Materials:
     base = np.asarray(base_color_factors, np.float32).reshape(-1, 4)
     m = base.shape[0]
@@ -280,6 +301,7 @@ def make_materials(
         roughness_metallic_texture=jnp.asarray(_i(roughness_metallic_textures)),
         normal_texture=jnp.asarray(_i(normal_textures)),
         emission_texture=jnp.asarray(_i(emission_textures)),
+        occlusion_texture=jnp.asarray(_i(occlusion_textures)),
     )
 
 
