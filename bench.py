@@ -34,7 +34,7 @@ def main() -> None:
         width=width,
         height=height,
         ray_chunk_size=1 << 22,  # whole frame as one wavefront
-        traversal=TraversalMode.BVH,
+        traversal=TraversalMode.BVH_PALLAS,
         camera=CameraConfig(
             position=(-16.0, 3.0, 0.0),
             target=(0.0, 3.0, 0.0),
@@ -42,7 +42,7 @@ def main() -> None:
         ),
     )
     scene = sponza_like_scene(target_triangles=tris)
-    scene = build_scene_bvh(scene)
+    scene = build_scene_bvh(scene, builder="sah")
     camera = Camera(cfg.camera).to_device()
     state = create_render_state(cfg)
 

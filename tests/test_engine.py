@@ -1,0 +1,127 @@
+"""Engine lifecycle tests: event bus, camera system semantics, mode toggle,
+accumulation reset, checkpoint/resume."""
+
+import numpy as np
+
+from vulkanraytracing_tpu.app.engine import Engine
+from vulkanraytracing_tpu.app.events import EventBus, EventType, Key, KeyAction, KeyInput
+from vulkanraytracing_tpu.app.systems import CameraSystem
+from vulkanraytracing_tpu.config import CameraConfig, Config, RenderMode, TraversalMode
+from vulkanraytracing_tpu.scene.camera import Camera
+from vulkanraytracing_tpu.scene.procedural import single_triangle_scene
+
+
+def _engine(**cfg_kw):
+    cfg = Config(
+        width=16, height=16, traversal=TraversalMode.BRUTE_FORCE,
+        camera=CameraConfig(aspect_ratio=1.0), **cfg_kw,
+    )
+    return Engine(cfg, single_triangle_scene())
+
+
+def test_event_bus_dispatch():
+    bus = EventBus()
+    seen = []
+    bus.add_handler(EventType.RESIZE, seen.append)
+    bus.trigger(EventType.RESIZE, (10, 20))
+    assert seen == [(10, 20)]
+
+
+def test_camera_system_wasd_moves_forward():
+    bus = EventBus()
+    cam = Camera(CameraConfig(position=(0, 0, 5), target=(0, 0, 0)))
+    cs = CameraSystem(cam, bus)
+    moved = []
+    bus.add_handler(EventType.CAMERA_UPDATE, lambda _: moved.append(1))
+    bus.trigger(EventType.KEY_INPUT, KeyInput(Key.W, KeyAction.PRESS))
+    cs.process(0.5)  # speed 2.0 * 0.5s = 1 unit forward (-Z toward target)
+    assert moved
+    np.testing.assert_allclose(cam.description.position, (0, 0, 4), atol=1e-6)
+    bus.trigger(EventType.KEY_INPUT, KeyInput(Key.W, KeyAction.RELEASE))
+    cs.process(0.5)
+    np.testing.assert_allclose(cam.description.position, (0, 0, 4), atol=1e-6)
+
+
+def test_camera_speed_keys():
+    bus = EventBus()
+    cam = Camera(CameraConfig(position=(0, 0, 5), target=(0, 0, 0)))
+    cs = CameraSystem(cam, bus)
+    bus.trigger(EventType.KEY_INPUT, KeyInput(Key.DIGIT_3, KeyAction.PRESS))
+    assert cs.speed_index == 2  # speed = 2 * 4^2 = 32
+    bus.trigger(EventType.KEY_INPUT, KeyInput(Key.S, KeyAction.PRESS))
+    cs.process(0.25)  # 32 * 0.25 = 8 backward
+    np.testing.assert_allclose(cam.description.position, (0, 0, 13), atol=1e-5)
+
+
+def test_mouse_look_clamps_pitch():
+    bus = EventBus()
+    cam = Camera(CameraConfig(position=(0, 0, 5), target=(0, 0, 0)))
+    cs = CameraSystem(cam, bus, sensitivity=1000.0)
+    bus.trigger(EventType.MOUSE_MOVE, (0.0, 0.0))
+    bus.trigger(EventType.MOUSE_MOVE, (0.0, -10.0))  # look up hard
+    assert abs(cs.pitch) <= np.radians(89.0) + 1e-6
+
+
+def test_camera_move_resets_accumulation():
+    eng = _engine()
+    eng.run(2)
+    assert int(eng.state.accum_index) == 2
+    eng.inject_mouse_move(0, 0)
+    eng.inject_mouse_move(5, 5)  # camera update fires
+    assert int(eng.state.accum_index) == 0
+    eng.run(1)
+    assert int(eng.state.accum_index) == 1
+
+
+def test_mode_toggle():
+    eng = _engine()
+    assert eng.render_mode == RenderMode.PATH_TRACING
+    eng.inject_key(Key.T)
+    assert eng.render_mode == RenderMode.HYBRID
+    eng.run(1)  # hybrid draw works
+    img = eng.display_image()
+    assert img.shape == (16, 16, 3)
+    eng.inject_key(Key.T)
+    assert eng.render_mode == RenderMode.PATH_TRACING
+
+
+def test_resize_recreates_framebuffer():
+    eng = _engine()
+    eng.run(1)
+    eng.inject_resize(24, 12)
+    assert eng.state.accumulation.shape == (12, 24, 3)
+    assert int(eng.state.accum_index) == 0
+    eng.run(1)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    eng = _engine()
+    eng.run(3)
+    p = tmp_path / "ckpt.npz"
+    eng.save_checkpoint(p)
+
+    eng2 = _engine()
+    eng2.load_checkpoint(p)
+    assert int(eng2.state.accum_index) == 3
+    np.testing.assert_array_equal(
+        np.asarray(eng2.state.accumulation), np.asarray(eng.state.accumulation)
+    )
+    # resumed render continues identically to an uninterrupted one
+    eng.run(1)
+    eng2.run(1)
+    np.testing.assert_array_equal(
+        np.asarray(eng2.state.accumulation), np.asarray(eng.state.accumulation)
+    )
+
+
+def test_cli_render_and_compare(tmp_path):
+    from vulkanraytracing_tpu.app.cli import main
+
+    out = tmp_path / "tri.png"
+    rc = main([
+        "render", "--scene", "triangle", "--out", str(out),
+        "--spp", "2", "--width", "16", "--height", "16", "--brute",
+    ])
+    assert rc == 0 and out.exists()
+    rc = main(["compare", str(out), str(out)])
+    assert rc == 0

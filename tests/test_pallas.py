@@ -1,0 +1,68 @@
+"""Pallas traversal kernel vs brute force — runs in interpret mode on CPU
+(SURVEY.md section 4 item 4: every Pallas kernel must pass interpret=True
+equality against a pure-jnp reference so CI needs no TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vulkanraytracing_tpu.accel import lbvh
+from vulkanraytracing_tpu.accel.sah import build_bvh_sah
+from vulkanraytracing_tpu.ops import intersect, traverse_pallas
+from vulkanraytracing_tpu.scene.procedural import (
+    cornell_box_scene,
+    triangle_soup_scene,
+)
+
+
+def _rays(n, extent, seed=0):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-extent, extent, (n, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d), jnp.zeros((n,)), jnp.full((n,), 1e3)
+
+
+@pytest.mark.parametrize("builder", ["lbvh", "sah"])
+@pytest.mark.parametrize("cull", [True, False])
+def test_pallas_matches_brute(builder, cull):
+    scene = triangle_soup_scene(1500, seed=3)
+    if builder == "sah":
+        geom, bvh = build_bvh_sah(scene.geometry)
+    else:
+        geom, bvh = lbvh.build_bvh(scene.geometry)
+    o, d, tmin, tmax = _rays(1100, extent=11.0, seed=4)  # non-multiple of 1024
+
+    brute = intersect.intersect_closest_brute(
+        geom, o, d, tmin, tmax, cull_backface=cull
+    )
+    fast = traverse_pallas.intersect_closest(
+        geom, bvh, o, d, tmin, tmax, cull_backface=cull
+    )
+    np.testing.assert_array_equal(np.asarray(brute.is_hit), np.asarray(fast.is_hit))
+    hits = np.asarray(brute.is_hit)
+    np.testing.assert_allclose(
+        np.asarray(fast.t)[hits], np.asarray(brute.t)[hits], rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.tri)[hits], np.asarray(brute.tri)[hits]
+    )
+
+
+def test_pallas_any_hit_matches_brute():
+    scene = triangle_soup_scene(800, seed=5)
+    geom, bvh = lbvh.build_bvh(scene.geometry)
+    o, d, tmin, tmax = _rays(512, extent=11.0, seed=6)
+    brute = intersect.intersect_any_brute(geom, o, d, tmin, tmax)
+    fast = traverse_pallas.intersect_any(geom, bvh, o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(brute), np.asarray(fast))
+
+
+def test_pallas_cornell_and_dead_lanes():
+    scene = cornell_box_scene()
+    geom, bvh = build_bvh_sah(scene.geometry)
+    o, d, tmin, tmax = _rays(300, extent=0.9, seed=7)
+    tmax = tmax.at[::3].set(0.0)  # dead lanes interleaved
+    brute = intersect.intersect_closest_brute(geom, o, d, tmin, tmax)
+    fast = traverse_pallas.intersect_closest(geom, bvh, o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(brute.is_hit), np.asarray(fast.is_hit))

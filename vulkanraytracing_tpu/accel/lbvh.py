@@ -196,22 +196,23 @@ def refit_aabbs(
     return lo, hi
 
 
-def _pack_tris(geometry: TraceGeometry) -> Array:
-    """(T, 12) packed triangle records: v0, e1, e2, flags, pad, pad.
-
-    flags: bit0 cull_disable, bit1 opaque (commits), bit2 alpha_test
-    (candidate needing a texture alpha test)."""
+def _pack_tris(geometry: TraceGeometry) -> tuple[Array, Array]:
+    """(T, 12) packed float triangle records (v0, e1, e2, 3 pads) plus a
+    separate (T,) int32 flags array: bit0 cull_disable, bit1 opaque
+    (commits), bit2 alpha_test (candidate needing a texture alpha test).
+    Flags stay integer — bitcasting small ints into float slots produces
+    denormals that XLA flushes to zero outside jit."""
     flags = (
         geometry.cull_disable.astype(_I32)
         | (geometry.opaque.astype(_I32) << 1)
         | (geometry.alpha_test.astype(_I32) << 2)
     )
-    flags_f = jax.lax.bitcast_convert_type(flags, jnp.float32)
     t = geometry.v0.shape[0]
-    pad = jnp.zeros((t, 2), jnp.float32)
-    return jnp.concatenate(
-        [geometry.v0, geometry.e1, geometry.e2, flags_f[:, None], pad], axis=1
+    pad = jnp.zeros((t, 3), jnp.float32)
+    tris = jnp.concatenate(
+        [geometry.v0, geometry.e1, geometry.e2, pad], axis=1
     )
+    return tris, flags
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size",))
@@ -278,28 +279,63 @@ def build_bvh(
         child_lo = jnp.stack([l_lo, r_lo], axis=1)
         child_hi = jnp.stack([l_hi, r_hi], axis=1)
 
-    idx_f = jax.lax.bitcast_convert_type(child_index, jnp.float32)
-    n_nodes = child_index.shape[0]
     nodes = jnp.concatenate(
         [
             child_lo[:, 0], child_hi[:, 0],
             child_lo[:, 1], child_hi[:, 1],
-            idx_f,
-            jnp.zeros((n_nodes, 2), jnp.float32),
         ],
         axis=1,
     )
+    nodes, child_index = pad_nodes(nodes, child_index, n)
 
+    tris, tri_flags = _pack_tris(geometry)
     bvh = BVH(
         nodes=nodes,
         child_index=child_index,
-        tris=_pack_tris(geometry),
+        tris=tris,
+        tri_flags=tri_flags,
         tri_order=order,
     )
     return geometry, bvh
 
 
-def build_scene_bvh(scene: Scene, leaf_size: int = LEAF_SIZE) -> Scene:
-    """Convenience: permute the scene geometry and attach its BVH."""
-    geometry, bvh = build_bvh(scene.geometry, leaf_size)
+def pad_nodes(nodes: Array, child_index: Array, num_tris: int):
+    """Pad node arrays to exactly ``num_tris`` rows.
+
+    Every builder (LBVH: num_tris-1 nodes; SAH: fewer, thanks to multi-tri
+    leaves) emits the same node-array shape for a given triangle count, so
+    switching builders or refitting never changes jit signatures — which
+    both avoids recompiles and sidesteps a jax 0.9 executable-resolution
+    bug observed when re-tracing with a different node count
+    ("Execution supplied N buffers but compiled program expected M").
+    Padding rows are unreachable (the root never links to them)."""
+    pad = num_tris - nodes.shape[0]
+    if pad <= 0:
+        return nodes, child_index
+    nodes = jnp.concatenate(
+        [nodes, jnp.zeros((pad, nodes.shape[1]), nodes.dtype)], axis=0
+    )
+    child_index = jnp.concatenate(
+        [child_index, jnp.full((pad, 2), _DONE_PAD, child_index.dtype)], axis=0
+    )
+    return nodes, child_index
+
+
+_DONE_PAD = -1  # leaf code decoding to (start 0, count 0): never matches
+
+
+def build_scene_bvh(
+    scene: Scene, leaf_size: int = LEAF_SIZE, builder: str = "lbvh"
+) -> Scene:
+    """Permute the scene geometry and attach its BVH.
+
+    builder: "lbvh" (on-device, fast build/refit) or "sah" (native C++
+    binned SAH, higher-quality trees for static scenes — the
+    ePreferFastTrace analog)."""
+    if builder == "sah":
+        from vulkanraytracing_tpu.accel.sah import build_bvh_sah
+
+        geometry, bvh = build_bvh_sah(scene.geometry, leaf_size)
+    else:
+        geometry, bvh = build_bvh(scene.geometry, leaf_size)
     return scene._replace(geometry=geometry, bvh=bvh)

@@ -29,9 +29,11 @@ class TraversalMode(enum.Enum):
     the same trace semantics."""
 
     BRUTE_FORCE = "brute_force"    # O(R*T) tiled Moller-Trumbore, tiny scenes/tests
-    BVH = "bvh"                    # LBVH + packet traversal (production)
-    BVH_PER_RAY = "bvh_per_ray"    # LBVH + per-ray lockstep traversal (oracle)
-    BVH_PALLAS = "bvh_pallas"      # LBVH + Pallas traversal kernel
+    BVH = "bvh"                    # BVH + XLA packet traversal
+    BVH_PER_RAY = "bvh_per_ray"    # BVH + per-ray lockstep traversal (oracle)
+    BVH_PALLAS = "bvh_pallas"      # BVH + Pallas traversal kernel (production:
+    #                                in-VMEM tables, ~2.5-20x the XLA packet
+    #                                path; falls back to it for huge scenes)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,7 +59,7 @@ class Config:
 
     # --- render mode (ref: EngineHelpers.hpp:32-38, toggled Engine.cpp:237-244) ---
     render_mode: RenderMode = RenderMode.PATH_TRACING
-    traversal: TraversalMode = TraversalMode.BVH
+    traversal: TraversalMode = TraversalMode.BVH_PALLAS
 
     # --- path tracing (ref: RayGen.rgen:18-23) ---
     min_bounce_count: int = 2   # RR starts after this many bounces

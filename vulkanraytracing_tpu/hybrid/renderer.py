@@ -59,7 +59,10 @@ def _direct_term(surface, n, v, l, nov, f0, metallic, albedo):
     return diffuse + specular, nol
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+from vulkanraytracing_tpu.core.jit_utils import hot_jit
+
+
+@hot_jit(static_argnames=("cfg",))
 def render_hybrid(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
     """One hybrid-mode frame -> (H, W, 3) display image."""
     h, w = cfg.height, cfg.width

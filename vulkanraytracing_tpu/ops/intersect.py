@@ -124,7 +124,7 @@ def _tile_hits(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cull_backface", "tile"))
+# not @jax.jit — see traverse_packet.traverse_packets for the rationale
 def intersect_closest_brute(
     geom: TraceGeometry,
     o: Array,
@@ -178,7 +178,6 @@ def intersect_closest_brute(
     return Hit(t=t, u=u, v=v, tri=tri, backface=det < 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
 def intersect_any_brute(
     geom: TraceGeometry,
     o: Array,

@@ -2,8 +2,15 @@
 
 The analog of the reference's compile-time PathTracingMode backend switch
 (Config.hpp:10-14: RT pipeline vs ray-query compute — two implementations of
-the same trace): brute force / packet LBVH traversal (production) / per-ray
-LBVH traversal (oracle) / Pallas kernel.
+the same trace): brute force / XLA packet traversal / per-ray traversal
+(oracle) / Pallas kernel (production default; falls back to the XLA packet
+path when the BVH exceeds its VMEM budget).
+
+Cross-cutting concerns applied around every BVH backend:
+
+- wavefront reordering (ops.reorder) for bounce rays;
+- the bounded alpha-test re-trace loop for textured cutouts
+  (TraceVisibilityRay / AnyHit.rahit semantics, RayGen.rgen:133-184).
 """
 
 from __future__ import annotations
@@ -28,6 +35,34 @@ def _root_bounds(bvh):
 # any-hit loop is unbounded, RayGen.rgen:142-176; 4 layers covers typical
 # foliage/cutout stacks).
 MAX_ALPHA_ITERS = 4
+
+
+def _closest_backend(mode: TraversalMode):
+    if mode == TraversalMode.BVH_PALLAS:
+        from vulkanraytracing_tpu.ops import traverse_pallas
+
+        return traverse_pallas.intersect_closest
+    if mode == TraversalMode.BVH_PER_RAY:
+        from vulkanraytracing_tpu.ops import traverse
+
+        return traverse.intersect_closest_bvh
+    from vulkanraytracing_tpu.ops import traverse_packet
+
+    return traverse_packet.intersect_closest_packet
+
+
+def _any_backend(mode: TraversalMode):
+    if mode == TraversalMode.BVH_PALLAS:
+        from vulkanraytracing_tpu.ops import traverse_pallas
+
+        return traverse_pallas.intersect_any
+    if mode == TraversalMode.BVH_PER_RAY:
+        from vulkanraytracing_tpu.ops import traverse
+
+        return traverse.intersect_any_bvh
+    from vulkanraytracing_tpu.ops import traverse_packet
+
+    return traverse_packet.intersect_any_packet
 
 
 def _hit_alpha(scene: Scene, hit: Hit):
@@ -108,47 +143,28 @@ def trace_closest(
 
             hit = _resolve_alpha(scene, retrace, hit, t_max)
         return hit
-    if mode == TraversalMode.BVH:
-        from vulkanraytracing_tpu.ops import reorder as reorder_mod
-        from vulkanraytracing_tpu.ops import traverse_packet
 
-        if reorder:
-            lo, hi = _root_bounds(scene.bvh)
-            order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
-            o, d, t_min, t_max = reorder_mod.apply_order(
-                order, o, d, t_min, t_max
-            )
-        hit = traverse_packet.intersect_closest_packet(
-            scene.geometry, scene.bvh, o, d, t_min, t_max,
-            cull_backface=cull_backface,
-        )
-        if reorder:
-            hit = Hit(*reorder_mod.unapply_order(order, *hit))
-            o, d, t_min, t_max = reorder_mod.unapply_order(
-                order, o, d, t_min, t_max
-            )
-        if scene.textures is not None:
-            def retrace(lo_t, hi_t):
-                return traverse_packet.intersect_closest_packet(
-                    scene.geometry, scene.bvh, o, d, lo_t, hi_t,
-                    cull_backface=cull_backface,
-                )
+    from vulkanraytracing_tpu.ops import reorder as reorder_mod
 
-            hit = _resolve_alpha(scene, retrace, hit, t_max)
-        return hit
-    from vulkanraytracing_tpu.ops import traverse
-
-    hit = traverse.intersect_closest_bvh(
+    backend = _closest_backend(mode)
+    if reorder:
+        lo, hi = _root_bounds(scene.bvh)
+        order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
+        o, d, t_min, t_max = reorder_mod.apply_order(order, o, d, t_min, t_max)
+    hit = backend(
         scene.geometry, scene.bvh, o, d, t_min, t_max,
         cull_backface=cull_backface,
-        use_pallas=mode == TraversalMode.BVH_PALLAS,
     )
+    if reorder:
+        hit = Hit(*reorder_mod.unapply_order(order, *hit))
+        o, d, t_min, t_max = reorder_mod.unapply_order(
+            order, o, d, t_min, t_max
+        )
     if scene.textures is not None:
         def retrace(lo_t, hi_t):
-            return traverse.intersect_closest_bvh(
+            return backend(
                 scene.geometry, scene.bvh, o, d, lo_t, hi_t,
                 cull_backface=cull_backface,
-                use_pallas=mode == TraversalMode.BVH_PALLAS,
             )
 
         hit = _resolve_alpha(scene, retrace, hit, t_max)
@@ -176,25 +192,15 @@ def trace_any(
     mode = cfg.traversal
     if mode == TraversalMode.BRUTE_FORCE or scene.bvh is None:
         return intersect.intersect_any_brute(scene.geometry, o, d, t_min, t_max)
-    if mode == TraversalMode.BVH:
-        from vulkanraytracing_tpu.ops import reorder as reorder_mod
-        from vulkanraytracing_tpu.ops import traverse_packet
 
-        if reorder:
-            lo, hi = _root_bounds(scene.bvh)
-            order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
-            o, d, t_min, t_max = reorder_mod.apply_order(
-                order, o, d, t_min, t_max
-            )
-        blocked = traverse_packet.intersect_any_packet(
-            scene.geometry, scene.bvh, o, d, t_min, t_max
-        )
-        if reorder:
-            (blocked,) = reorder_mod.unapply_order(order, blocked)
-        return blocked
-    from vulkanraytracing_tpu.ops import traverse
+    from vulkanraytracing_tpu.ops import reorder as reorder_mod
 
-    return traverse.intersect_any_bvh(
-        scene.geometry, scene.bvh, o, d, t_min, t_max,
-        use_pallas=mode == TraversalMode.BVH_PALLAS,
-    )
+    backend = _any_backend(mode)
+    if reorder:
+        lo, hi = _root_bounds(scene.bvh)
+        order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
+        o, d, t_min, t_max = reorder_mod.apply_order(order, o, d, t_min, t_max)
+    blocked = backend(scene.geometry, scene.bvh, o, d, t_min, t_max)
+    if reorder:
+        (blocked,) = reorder_mod.unapply_order(order, blocked)
+    return blocked

@@ -34,9 +34,7 @@ STACK_DEPTH = 64
 MAX_ITERS = 16384
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cull_backface", "any_hit", "stack_depth")
-)
+# not @jax.jit — see traverse_packet.traverse_packets for the rationale
 def _traverse(
     bvh: BVH,
     o: Array,
@@ -76,7 +74,9 @@ def _traverse(
 
     def body(s):
         active = s["cursor"] != _DONE
-        node = bvh.nodes[jnp.where(active, s["cursor"], 0)]  # (R, 16)
+        node_sel = jnp.where(active, s["cursor"], 0)
+        node = bvh.nodes[node_sel]  # (R, 12)
+        child_ids_all = bvh.child_index[node_sel]  # (R, 2)
 
         best_t = s["best_t"]
         u, v, tri_best, det_best = s["u"], s["v"], s["tri"], s["det"]
@@ -86,7 +86,7 @@ def _traverse(
         for c in (0, 1):
             lo = node[:, 6 * c : 6 * c + 3]
             hi = node[:, 6 * c + 3 : 6 * c + 6]
-            idx = jax.lax.bitcast_convert_type(node[:, 12 + c], i32)
+            idx = child_ids_all[:, c]
             child_ids.append(idx)
             is_leaf = idx < 0
 
@@ -107,7 +107,7 @@ def _traverse(
                 tid = jnp.minimum(base + k, bvh.tris.shape[0] - 1)
                 rec = bvh.tris[tid]  # (R, 12)
                 tv0, te1, te2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
-                flags = jax.lax.bitcast_convert_type(rec[:, 9], i32)
+                flags = bvh.tri_flags[tid]
                 cull_disable = (flags & 1) != 0
                 candidate = (flags & 6) != 0  # opaque or alpha-tested
 

@@ -67,13 +67,11 @@ def _pad_to(x: Array, n: int, value) -> Array:
 GROUP_PACKETS = 256  # packets per independent while_loop group
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cull_backface", "any_hit", "lane", "stack_depth", "max_iters",
-        "group_packets",
-    ),
-)
+# NOTE: intentionally NOT @jax.jit: nested jit (this function traced inside
+# render_frame's jit) followed by a standalone call at new shapes trips a
+# jax 0.9.0 executable-resolution bug ("Execution supplied N buffers but
+# compiled program expected M").  Callers on the hot path are jitted at the
+# top level; standalone calls trace eagerly (the while_loop still compiles).
 def traverse_packets(
     bvh: BVH,
     o: Array,
@@ -151,7 +149,9 @@ def traverse_packets(
 
         def body(s):
             active = s["cursor"] != _DONE                   # (P,)
-            node = bvh.nodes[jnp.where(active, s["cursor"], 0)]  # (P, 16)
+            node_sel = jnp.where(active, s["cursor"], 0)
+            node = bvh.nodes[node_sel]                      # (P, 12)
+            idx = bvh.child_index[node_sel]                 # (P, C)
 
             best_t = s["best_t"]
             tri = s["tri"]
@@ -161,7 +161,6 @@ def traverse_packets(
             else:
                 lane_live = jnp.broadcast_to(active[:, None], best_t.shape)
 
-            idx = jax.lax.bitcast_convert_type(node[:, 12:14], i32)  # (P, C)
             is_leaf = idx < 0
 
             # --- slab test, component form: (P, C, L) ---
@@ -217,7 +216,7 @@ def traverse_packets(
             mv = (dbx * qvx + dby * qvy + dbz * qvz) * inv_det
             mt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
-            flags = jax.lax.bitcast_convert_type(rec[:, :, :, 9], i32)  # (P, C, K)
+            flags = bvh.tri_flags[tid]                      # (P, C, K)
             cull_disable = (flags & 1) != 0
             candidate = (flags & 6) != 0  # opaque or alpha-tested
             k_in_leaf = leaf_active[:, :, None] & (

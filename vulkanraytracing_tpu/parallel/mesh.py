@@ -104,7 +104,9 @@ def shard_render_frame(
         check_vma=False,
     )
 
-    new_accum, rays = jax.jit(sharded)(accum, accum_index, camera, scene)
+    from vulkanraytracing_tpu.core.jit_utils import hot_jit
+
+    new_accum, rays = hot_jit(sharded)(accum, accum_index, camera, scene)
     new_state = RenderState(
         accumulation=new_accum, accum_index=state.accum_index + jnp.uint32(1)
     )

@@ -93,7 +93,10 @@ def _quantize_rgb8(x: Array) -> Array:
     return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+from vulkanraytracing_tpu.core.jit_utils import hot_jit
+
+
+@hot_jit(static_argnames=("cfg",))
 def render_frame(
     scene: Scene,
     cfg: Config,

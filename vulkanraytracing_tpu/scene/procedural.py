@@ -50,8 +50,9 @@ def generate_sphere(radius: float = 1.0, lat: int = 16, lon: int = 32):
             b = i * lon + (j + 1) % lon
             c = (i + 1) * lon + j
             d = (i + 1) * lon + (j + 1) % lon
-            idx.append([a, c, b])
-            idx.append([b, c, d])
+            # counter-clockwise seen from outside (front faces out)
+            idx.append([a, b, c])
+            idx.append([b, d, c])
     return verts, np.asarray(idx, np.int32)
 
 

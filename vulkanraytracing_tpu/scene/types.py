@@ -139,14 +139,16 @@ class BVH(NamedTuple):
     ``start = packed >> 4``, ``count = packed & 15``.
     """
 
-    nodes: jnp.ndarray        # (N, 16) f32 packed: c0.lo(3) c0.hi(3)
-    #                           c1.lo(3) c1.hi(3) c0.idx c1.idx pad pad
-    #                           (idx slots are bitcast int32)
-    child_index: jnp.ndarray  # (N, 2) i32 — same as slots 12:14, for tools
-    tris: jnp.ndarray         # (T, 12) f32 packed: v0(3) e1(3) e2(3)
-    #                           flags(bitcast i32: bit0 cull_disable,
-    #                           bit1 opaque) pad pad
-    tri_order: jnp.ndarray    # (T,) i32 — morton-sorted triangle ids
+    # NOTE: integer data (child ids, flags) lives in separate int32 arrays,
+    # never bitcast into the float records: small ints are denormal f32 bit
+    # patterns and XLA flushes denormals to zero in eager elementwise ops.
+    nodes: jnp.ndarray        # (N, 12) f32 packed: c0.lo(3) c0.hi(3)
+    #                           c1.lo(3) c1.hi(3)
+    child_index: jnp.ndarray  # (N, 2) i32 — child ids (>=0 node, <0 leaf)
+    tris: jnp.ndarray         # (T, 12) f32 packed: v0(3) e1(3) e2(3) pad(3)
+    tri_flags: jnp.ndarray    # (T,) i32: bit0 cull_disable, bit1 opaque,
+    #                           bit2 alpha_test
+    tri_order: jnp.ndarray    # (T,) i32 — sorted-order -> original tri ids
 
 
 class Scene(NamedTuple):
