@@ -38,6 +38,13 @@ def _build_scene(args):
                 aspect_ratio=args.width / args.height,
             )
     else:
+        from pathlib import Path
+
+        if not Path(args.scene).exists():
+            raise SystemExit(
+                f"error: scene '{args.scene}' not found (expected a "
+                "glTF/GLB path or one of: cornell, triangle, sponza_like)"
+            )
         from vulkanraytracing_tpu.scene.gltf import load_scene
 
         scene, camera_cfg, _pool = load_scene(args.scene)
@@ -61,7 +68,7 @@ def _build_scene(args):
         scene = scene._replace(environment=bake_ibl(scene.environment))
 
     if not args.brute:
-        scene = build_scene_bvh(scene)
+        scene = build_scene_bvh(scene, builder="sah")
     return scene, camera_cfg
 
 
@@ -77,7 +84,7 @@ def cmd_render(args) -> int:
         width=args.width,
         height=args.height,
         render_mode=RenderMode.HYBRID if args.mode == "hybrid" else RenderMode.PATH_TRACING,
-        traversal=TraversalMode.BRUTE_FORCE if args.brute else TraversalMode.BVH,
+        traversal=TraversalMode.BRUTE_FORCE if args.brute else TraversalMode.BVH_PALLAS,
         parity_quantization=not args.hdr_accumulation,
         tone_map_before_accumulation=not args.hdr_accumulation,
     )
