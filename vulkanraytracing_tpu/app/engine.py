@@ -35,6 +35,7 @@ from vulkanraytracing_tpu.pt.render import (
 from vulkanraytracing_tpu.scene.camera import Camera
 from vulkanraytracing_tpu.scene.types import Scene
 from vulkanraytracing_tpu.utils import Timer, log_i
+from vulkanraytracing_tpu.utils.profiling import RayCounter
 
 
 class Engine:
@@ -46,6 +47,7 @@ class Engine:
         self.render_mode = cfg.render_mode
         self.timer = Timer()
         self.total_rays = 0.0
+        self.ray_counter = RayCounter()
 
         self.state: RenderState = create_render_state(cfg)
         self._camera_dirty = True
@@ -64,6 +66,9 @@ class Engine:
 
         self.stats.bind_text(
             lambda: f"spp {int(self.state.accum_index)}"
+        )
+        self.stats.bind_text(
+            lambda: f"{self.ray_counter.mrays_per_sec():.2f} Mrays/s"
         )
         self.stats.bind_text(
             lambda: "camera position: %.2f %.2f %.2f"
@@ -138,6 +143,7 @@ class Engine:
                 self.scene, self.cfg, camera, self.state
             )
             self.total_rays += float(stats.rays)
+            self.ray_counter.add(stats.rays)
         else:
             from vulkanraytracing_tpu.hybrid import render_hybrid
 
