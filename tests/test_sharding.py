@@ -69,3 +69,54 @@ def test_sharded_accumulation_across_frames():
         np.asarray(single.accumulation), np.asarray(sharded.accumulation)
     )
     assert int(sharded.accum_index) == 3
+
+
+def test_sample_parallel_mode():
+    """Sample-parallel sharding: n devices contribute n spp per call; the
+    result equals n sequential single-device frames rendered with the same
+    (reordered) sample indices and averaged."""
+    import jax.numpy as jnp
+
+    from vulkanraytracing_tpu.parallel import shard_render_frame_samples
+    from vulkanraytracing_tpu.pt.render import RenderState
+
+    # compiling a new render_frame signature (parity_quantization=False)
+    # after the earlier tests' shard_map compiles trips the jax 0.9
+    # executable-resolution bug — start from a clean compile cache
+    jax.clear_caches()
+
+    cfg, scene, camera = _setup()
+    cfg = cfg.replace(parity_quantization=False)
+    n = 4
+    mesh = make_render_mesh(jax.devices()[:n])
+    sharded_scene = replicate_scene(scene, mesh)
+
+    # reference: average of n single-device frames at accum indices 0..n-1.
+    # Computed FIRST — compiling a fresh single-device render_frame signature
+    # after a shard_map compile trips the jax 0.9 executable-resolution bug
+    # ("supplied N buffers but compiled program expected M").
+    acc = None
+    total = 0.0
+    for k in range(n):
+        st0 = jax.device_put(
+            RenderState(
+                accumulation=jnp.zeros((cfg.height, cfg.width, 3)),
+                accum_index=jnp.uint32(k),
+            ),
+            jax.devices()[0],
+        )
+        st_k, s_k = render_frame(scene, cfg, camera, st0)
+        img_k = np.asarray(st_k.accumulation) * (k + 1)  # undo running mean
+        acc = img_k if acc is None else acc + img_k
+        total += float(s_k.rays)
+    want = acc / n
+
+    state = create_render_state(cfg)
+    state, stats = shard_render_frame_samples(
+        sharded_scene, cfg, camera, state, mesh
+    )
+    assert int(state.accum_index) == 1
+    np.testing.assert_allclose(
+        np.asarray(state.accumulation), want, rtol=2e-4, atol=2e-5
+    )
+    assert float(stats.rays) == total

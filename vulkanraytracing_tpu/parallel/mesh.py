@@ -111,3 +111,74 @@ def shard_render_frame(
         accumulation=new_accum, accum_index=state.accum_index + jnp.uint32(1)
     )
     return new_state, TraceStats(rays=jnp.sum(rays))
+
+
+def shard_render_frame_samples(
+    scene: Scene,
+    cfg: Config,
+    camera: CameraPT,
+    state: RenderState,
+    mesh: Mesh,
+) -> tuple[RenderState, TraceStats]:
+    """One step of SAMPLE-parallel progressive rendering: every device
+    renders the FULL image with its own accumulation-index stream (device k
+    of n contributes samples accum_index*n + k), and the n per-device
+    samples are psum-averaged into the accumulator — n spp of progress per
+    call.  This is the alternative parallel axis to pixel sharding: same
+    estimator, different RNG schedule (equivalent to n sequential frames
+    reordered), so images match single-chip rendering statistically but not
+    bit-for-bit.
+    """
+    n = mesh.devices.size
+    h, w = cfg.height, cfg.width
+    axis = mesh.axis_names[0]
+
+    from vulkanraytracing_tpu.core.jit_utils import hot_jit
+    from vulkanraytracing_tpu.pt.render import tile_pixel_coords, untile_image
+
+    repl = NamedSharding(mesh, P())
+    scene = jax.device_put(scene, repl)
+    camera = jax.device_put(camera, repl)
+    accum = jax.device_put(state.accumulation, repl)
+    accum_index = jax.device_put(state.accum_index, repl)
+    # precompute the tile coordinates on the host and pass them as
+    # replicated args: large constants captured inside a shard_map body
+    # trip a jax 0.9 const-lifting bug ("supplied N buffers but compiled
+    # program expected M")
+    px, py, valid, ty, tx = tile_pixel_coords(w, h)
+    px = jax.device_put(px, repl)
+    py = jax.device_put(py, repl)
+    valid = jax.device_put(valid, repl)
+
+    def per_device(accum_full, accum_index, camera_dev, scene_dev, px, py, valid):
+        dev = jax.lax.axis_index(axis).astype(jnp.uint32)
+        sample_index = accum_index * jnp.uint32(n) + dev
+        color, stats = pathtrace(
+            scene_dev, cfg, camera_dev, px, py, w, h, sample_index,
+            valid=valid,
+        )
+        value = untile_image(color, w, h, ty, tx)
+        mean_value = jax.lax.psum(value, axis) / n
+        rays = jax.lax.psum(jnp.sum(stats.rays), axis)
+
+        count = accum_index.astype(jnp.float32) * n
+        result = (mean_value * n + count * accum_full) / (count + n)
+        if cfg.parity_quantization:
+            result = jnp.round(jnp.clip(result, 0.0, 1.0) * 255.0) / 255.0
+        return result, jnp.reshape(rays, ())
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    new_accum, rays = hot_jit(sharded)(
+        accum, accum_index, camera, scene, px, py, valid
+    )
+    new_state = RenderState(
+        accumulation=new_accum, accum_index=state.accum_index + jnp.uint32(1)
+    )
+    return new_state, TraceStats(rays=jnp.sum(rays))
