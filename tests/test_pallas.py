@@ -8,11 +8,13 @@ import pytest
 
 from vulkanraytracing_tpu.accel import lbvh
 from vulkanraytracing_tpu.accel.sah import build_bvh_sah
-from vulkanraytracing_tpu.ops import intersect, traverse_pallas
+from vulkanraytracing_tpu.ops import intersect, traverse_pallas, traverse_subpacket
 from vulkanraytracing_tpu.scene.procedural import (
     cornell_box_scene,
     triangle_soup_scene,
 )
+
+KERNELS = {"shared": traverse_pallas, "subpacket": traverse_subpacket}
 
 
 def _rays(n, extent, seed=0):
@@ -23,9 +25,10 @@ def _rays(n, extent, seed=0):
     return o, jnp.asarray(d), jnp.zeros((n,)), jnp.full((n,), 1e3)
 
 
+@pytest.mark.parametrize("kernel", sorted(KERNELS))
 @pytest.mark.parametrize("builder", ["lbvh", "sah"])
 @pytest.mark.parametrize("cull", [True, False])
-def test_pallas_matches_brute(builder, cull):
+def test_pallas_matches_brute(kernel, builder, cull):
     scene = triangle_soup_scene(1500, seed=3)
     if builder == "sah":
         geom, bvh = build_bvh_sah(scene.geometry)
@@ -36,7 +39,7 @@ def test_pallas_matches_brute(builder, cull):
     brute = intersect.intersect_closest_brute(
         geom, o, d, tmin, tmax, cull_backface=cull
     )
-    fast = traverse_pallas.intersect_closest(
+    fast = KERNELS[kernel].intersect_closest(
         geom, bvh, o, d, tmin, tmax, cull_backface=cull
     )
     np.testing.assert_array_equal(np.asarray(brute.is_hit), np.asarray(fast.is_hit))
@@ -49,20 +52,22 @@ def test_pallas_matches_brute(builder, cull):
     )
 
 
-def test_pallas_any_hit_matches_brute():
+@pytest.mark.parametrize("kernel", sorted(KERNELS))
+def test_pallas_any_hit_matches_brute(kernel):
     scene = triangle_soup_scene(800, seed=5)
     geom, bvh = lbvh.build_bvh(scene.geometry)
     o, d, tmin, tmax = _rays(512, extent=11.0, seed=6)
     brute = intersect.intersect_any_brute(geom, o, d, tmin, tmax)
-    fast = traverse_pallas.intersect_any(geom, bvh, o, d, tmin, tmax)
+    fast = KERNELS[kernel].intersect_any(geom, bvh, o, d, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(brute), np.asarray(fast))
 
 
-def test_pallas_cornell_and_dead_lanes():
+@pytest.mark.parametrize("kernel", sorted(KERNELS))
+def test_pallas_cornell_and_dead_lanes(kernel):
     scene = cornell_box_scene()
     geom, bvh = build_bvh_sah(scene.geometry)
     o, d, tmin, tmax = _rays(300, extent=0.9, seed=7)
     tmax = tmax.at[::3].set(0.0)  # dead lanes interleaved
     brute = intersect.intersect_closest_brute(geom, o, d, tmin, tmax)
-    fast = traverse_pallas.intersect_closest(geom, bvh, o, d, tmin, tmax)
+    fast = KERNELS[kernel].intersect_closest(geom, bvh, o, d, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(brute.is_hit), np.asarray(fast.is_hit))

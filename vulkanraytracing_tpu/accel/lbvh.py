@@ -41,8 +41,10 @@ _I32 = jnp.int32
 _U32 = jnp.uint32
 
 # Max triangles per collapsed leaf; 4 bits of the leaf encoding hold the
-# count, so this must stay <= 15.  4 balances VPU work per visit against
-# traversal depth.
+# count, so this must stay <= 15.  The sub-packet kernel unrolls exactly
+# this many Moller-Trumbore tests per leaf visit; 4 measured faster than 8
+# on Sponza-class scenes (leaf vector work dominates traversal time, and
+# smaller leaves waste fewer tests per visit than they add visits).
 LEAF_SIZE = 4
 
 

@@ -31,9 +31,13 @@ class TraversalMode(enum.Enum):
     BRUTE_FORCE = "brute_force"    # O(R*T) tiled Moller-Trumbore, tiny scenes/tests
     BVH = "bvh"                    # BVH + XLA packet traversal
     BVH_PER_RAY = "bvh_per_ray"    # BVH + per-ray lockstep traversal (oracle)
-    BVH_PALLAS = "bvh_pallas"      # BVH + Pallas traversal kernel (production:
-    #                                in-VMEM tables, ~2.5-20x the XLA packet
-    #                                path; falls back to it for huge scenes)
+    BVH_PALLAS = "bvh_pallas"      # BVH + sub-packet Pallas kernel (production:
+    #                                8 independent 128-ray packets per block,
+    #                                VMEM-resident tables; falls back to the
+    #                                XLA packet path for huge scenes)
+    BVH_PALLAS_SHARED = "bvh_pallas_shared"  # first-gen Pallas kernel: one
+    #                                shared cursor per 1024-ray packet (kept
+    #                                as a consistency oracle / comparison)
 
 
 @dataclasses.dataclass(frozen=True)

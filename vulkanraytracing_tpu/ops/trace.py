@@ -39,6 +39,10 @@ MAX_ALPHA_ITERS = 4
 
 def _closest_backend(mode: TraversalMode):
     if mode == TraversalMode.BVH_PALLAS:
+        from vulkanraytracing_tpu.ops import traverse_subpacket
+
+        return traverse_subpacket.intersect_closest
+    if mode == TraversalMode.BVH_PALLAS_SHARED:
         from vulkanraytracing_tpu.ops import traverse_pallas
 
         return traverse_pallas.intersect_closest
@@ -53,6 +57,10 @@ def _closest_backend(mode: TraversalMode):
 
 def _any_backend(mode: TraversalMode):
     if mode == TraversalMode.BVH_PALLAS:
+        from vulkanraytracing_tpu.ops import traverse_subpacket
+
+        return traverse_subpacket.intersect_any
+    if mode == TraversalMode.BVH_PALLAS_SHARED:
         from vulkanraytracing_tpu.ops import traverse_pallas
 
         return traverse_pallas.intersect_any
