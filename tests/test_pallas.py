@@ -8,13 +8,24 @@ import pytest
 
 from vulkanraytracing_tpu.accel import lbvh
 from vulkanraytracing_tpu.accel.sah import build_bvh_sah
-from vulkanraytracing_tpu.ops import intersect, traverse_pallas, traverse_subpacket
+from vulkanraytracing_tpu.ops import (
+    intersect,
+    traverse_pallas,
+    traverse_subpacket,
+    traverse_wide,
+    traverse_wide8,
+)
 from vulkanraytracing_tpu.scene.procedural import (
     cornell_box_scene,
     triangle_soup_scene,
 )
 
-KERNELS = {"shared": traverse_pallas, "subpacket": traverse_subpacket}
+KERNELS = {
+    "shared": traverse_pallas,
+    "subpacket": traverse_subpacket,
+    "wide": traverse_wide,
+    "wide8": traverse_wide8,
+}
 
 
 def _rays(n, extent, seed=0):

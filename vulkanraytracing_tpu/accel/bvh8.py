@@ -1,0 +1,106 @@
+"""Host-side BVH2 -> BVH8 collapse.
+
+The reference leans on the driver's hardware BVH (ePreferFastTrace,
+Source/Engine/Render/Vulkan/Private/AccelerationStructureManager.cpp:15).
+On TPU the traversal kernel's cost is per *node visit* (one table-row fetch
++ one while-trip slot), so wider nodes buy a near-linear cut in visits: an
+8-wide node retires up to 3 BVH2 levels per fetch, and its record fills one
+full 128-lane row (48 AABB floats + 8 child ids), which also removes the
+lane roll the 2-wide path needs.
+
+Collapse rule (classic SAH-greedy): start from a BVH2 interior node's two
+children and repeatedly expand the interior slot with the largest surface
+area until 8 slots are filled or all slots are leaves.  Slots are emitted
+largest-area first so the traversal's static child priority visits likely
+hits early.  Empty slots get a degenerate far box (lo = hi = +big):
+under the kernel's min/max slab form the per-axis entry/exit collapse to
+the same +-3e38 value, so the test rejects every ray.  (An *inverted* box
+lo > hi would be WRONG there — min/max slabs accept inverted boxes for
+all rays.)
+
+Leaf codes pass through unchanged (accel.lbvh encoding: ~(start<<4|count)
+over Morton-ordered triangles), so the 8-wide kernel shares the triangle
+table and leaf pipeline with the 2-wide one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vulkanraytracing_tpu.scene.types import BVH
+
+_BIG = np.float32(3.0e38)
+
+
+def collapse_bvh8(bvh: BVH) -> BVH:
+    """Attach (nodes8, child8) to a host-concrete BVH; no-op under trace."""
+    try:
+        nodes = np.asarray(bvh.nodes)
+        child = np.asarray(bvh.child_index)
+    except Exception:
+        return bvh  # traced values — leave nodes8 unset
+
+    n = nodes.shape[0]
+    # surface area of each child slot of every BVH2 node
+    def area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                      + d[..., 2] * d[..., 0])
+
+    c0_lo, c0_hi = nodes[:, 0:3], nodes[:, 3:6]
+    c1_lo, c1_hi = nodes[:, 6:9], nodes[:, 9:12]
+    a0 = area(c0_lo, c0_hi)
+    a1 = area(c1_lo, c1_hi)
+
+    bvh8_id = {}          # bvh2 interior id -> bvh8 id
+    order = []            # bvh8 id -> bvh2 id
+    queue = [0]
+    bvh8_id[0] = 0
+    order.append(0)
+    slots_out = []
+
+    while queue:
+        next_queue = []
+        for n2 in queue:
+            # slots: (area, child_code, lo, hi); child_code >= 0 is a BVH2
+            # interior id until remapped at the end
+            slots = [
+                (a0[n2], child[n2, 0], c0_lo[n2], c0_hi[n2]),
+                (a1[n2], child[n2, 1], c1_lo[n2], c1_hi[n2]),
+            ]
+            while len(slots) < 8:
+                # expand the largest interior slot
+                best_i, best_a = -1, -1.0
+                for i, (a, c, _, _) in enumerate(slots):
+                    if c >= 0 and a > best_a:
+                        best_i, best_a = i, a
+                if best_i < 0:
+                    break
+                _, c, _, _ = slots.pop(best_i)
+                slots.append((a0[c], child[c, 0], c0_lo[c], c0_hi[c]))
+                slots.append((a1[c], child[c, 1], c1_lo[c], c1_hi[c]))
+            slots.sort(key=lambda s: -s[0])
+            for _, c, _, _ in slots:
+                if c >= 0 and c not in bvh8_id:
+                    bvh8_id[c] = len(order)
+                    order.append(c)
+                    next_queue.append(c)
+            slots_out.append(slots)
+        queue = next_queue
+
+    m = len(slots_out)
+    nodes8 = np.empty((m, 48), np.float32)
+    child8 = np.zeros((m, 8), np.int32)
+    for i, slots in enumerate(slots_out):
+        for k, (_, c, lo, hi) in enumerate(slots):
+            nodes8[i, k * 6 : k * 6 + 3] = lo
+            nodes8[i, k * 6 + 3 : k * 6 + 6] = hi
+            child8[i, k] = bvh8_id[c] if c >= 0 else c
+        for k in range(len(slots), 8):
+            nodes8[i, k * 6 : k * 6 + 6] = _BIG
+
+    import jax.numpy as jnp
+
+    return bvh._replace(
+        nodes8=jnp.asarray(nodes8), child8=jnp.asarray(child8)
+    )

@@ -340,4 +340,7 @@ def build_scene_bvh(
         geometry, bvh = build_bvh_sah(scene.geometry, leaf_size)
     else:
         geometry, bvh = build_bvh(scene.geometry, leaf_size)
+    from vulkanraytracing_tpu.accel.bvh8 import collapse_bvh8
+
+    bvh = collapse_bvh8(bvh)  # host-side; no-op under trace
     return scene._replace(geometry=geometry, bvh=bvh)

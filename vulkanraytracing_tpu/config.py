@@ -31,10 +31,14 @@ class TraversalMode(enum.Enum):
     BRUTE_FORCE = "brute_force"    # O(R*T) tiled Moller-Trumbore, tiny scenes/tests
     BVH = "bvh"                    # BVH + XLA packet traversal
     BVH_PER_RAY = "bvh_per_ray"    # BVH + per-ray lockstep traversal (oracle)
-    BVH_PALLAS = "bvh_pallas"      # BVH + sub-packet Pallas kernel (production:
-    #                                8 independent 128-ray packets per block,
-    #                                VMEM-resident tables; falls back to the
+    BVH_PALLAS = "bvh_pallas"      # BVH + wide persistent Pallas kernel
+    #                                (production: 64 independent 128-ray
+    #                                sub-packets with fully vectorized
+    #                                traversal state, pool streamed through
+    #                                VMEM wave-by-wave; falls back to the
     #                                XLA packet path for huge scenes)
+    BVH_PALLAS_SUBPACKET = "bvh_pallas_subpacket"  # second-gen kernel: 8 row
+    #                                cursors + SMEM scalar stacks + refill
     BVH_PALLAS_SHARED = "bvh_pallas_shared"  # first-gen Pallas kernel: one
     #                                shared cursor per 1024-ray packet (kept
     #                                as a consistency oracle / comparison)

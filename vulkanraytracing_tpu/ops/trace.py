@@ -39,6 +39,22 @@ MAX_ALPHA_ITERS = 4
 
 def _closest_backend(mode: TraversalMode):
     if mode == TraversalMode.BVH_PALLAS:
+        # 8-wide kernel when the scene BVH carries the host-built collapse
+        # (accel.bvh8); the 2-wide wide kernel otherwise (e.g. BVH built
+        # inside a trace, where the collapse can't run)
+        def closest(geom, bvh, *args, **kwargs):
+            if bvh.nodes8 is not None:
+                from vulkanraytracing_tpu.ops import traverse_wide8
+
+                return traverse_wide8.intersect_closest(
+                    geom, bvh, *args, **kwargs
+                )
+            from vulkanraytracing_tpu.ops import traverse_wide
+
+            return traverse_wide.intersect_closest(geom, bvh, *args, **kwargs)
+
+        return closest
+    if mode == TraversalMode.BVH_PALLAS_SUBPACKET:
         from vulkanraytracing_tpu.ops import traverse_subpacket
 
         return traverse_subpacket.intersect_closest
@@ -57,6 +73,17 @@ def _closest_backend(mode: TraversalMode):
 
 def _any_backend(mode: TraversalMode):
     if mode == TraversalMode.BVH_PALLAS:
+        def anyhit(geom, bvh, *args, **kwargs):
+            if bvh.nodes8 is not None:
+                from vulkanraytracing_tpu.ops import traverse_wide8
+
+                return traverse_wide8.intersect_any(geom, bvh, *args, **kwargs)
+            from vulkanraytracing_tpu.ops import traverse_wide
+
+            return traverse_wide.intersect_any(geom, bvh, *args, **kwargs)
+
+        return anyhit
+    if mode == TraversalMode.BVH_PALLAS_SUBPACKET:
         from vulkanraytracing_tpu.ops import traverse_subpacket
 
         return traverse_subpacket.intersect_any

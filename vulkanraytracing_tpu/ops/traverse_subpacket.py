@@ -501,6 +501,7 @@ def _traverse_subpacket_packed(
     cull_backface: bool,
     any_hit: bool,
     interpret: bool = False,
+    return_counters: bool = False,
 ) -> Hit:
     r_orig = o.shape[0]
     raw_pack = -(-r_orig // LANE)
@@ -579,14 +580,17 @@ def _traverse_subpacket_packed(
     fv = jnp.sum(d * jnp.cross(tvec, rec[:, 3:6]), axis=-1) * finv
 
     t = jnp.where(hit_found, flat(best), _BIG_T)
-    return Hit(t=t, u=fu, v=fv, tri=tri_f, backface=hit_found & (fdet < 0.0))
+    result = Hit(t=t, u=fu, v=fv, tri=tri_f, backface=hit_found & (fdet < 0.0))
+    if return_counters:
+        return result, iters[:, 0, :3]  # (n_chunks, [trips, n_int, n_leaf])
+    return result
 
 
 from vulkanraytracing_tpu.core.jit_utils import hot_jit
 
 _traverse_subpacket_jitted = hot_jit(
     _traverse_subpacket_packed,
-    static_argnames=("cull_backface", "any_hit", "interpret"),
+    static_argnames=("cull_backface", "any_hit", "interpret", "return_counters"),
 )
 
 

@@ -1,0 +1,559 @@
+"""Wide persistent Pallas traversal over an 8-wide BVH.
+
+Same wave/grid architecture as ops.traverse_wide (W resident 128-ray
+sub-packets, pool streamed per grid step, vectorized cursors/stacks), but
+interior nodes are the 8-wide collapse from accel.bvh8:
+
+- one node = one full 128-lane table row (48 AABB floats bitcast + 8 child
+  ids at lanes 48-55) -> the interior fetch needs NO lane roll;
+- each interior visit slab-tests all 8 children, so a visit retires up to
+  three BVH2 levels: measured interior-visit counts drop ~2.5-3x on
+  Sponza-class scenes, which is the dominant term in traversal time
+  (per-trip overhead x trips);
+- closest-hit traversal is NEAR-ORDERED per row: the 8 (entry distance,
+  child) pairs are sorted farthest-first with a Batcher network on
+  lane-replicated (W, 128) values, the nearest hit is descended and the
+  rest pushed far-to-near.  Without ordering, leaf visits measured 3x
+  higher (far leaves tested before best-t tightens) and the whole BVH8
+  win evaporated.  Any-hit skips the sort (order is irrelevant).
+
+Leaf encoding, triangle records and the leaf pipeline are shared unchanged
+with the 2-wide kernel.  The reference counterpart is still the
+`traceRayEXT` hardware unit (Source/Shaders/PathTracing/RayGen.rgen:337).
+Off-TPU the kernel runs in interpret mode (CI validates it against the
+brute-force oracle, SURVEY.md section 4 item 4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vulkanraytracing_tpu.accel.lbvh import LEAF_SIZE as LEAF_TESTS
+from vulkanraytracing_tpu.ops.intersect import Hit
+from vulkanraytracing_tpu.ops.traverse_wide import (
+    _pad_to,
+    _use_interpret,
+)
+from vulkanraytracing_tpu.scene.types import BVH, TraceGeometry
+
+_BIG_T = jnp.float32(3.0e38)
+LANE_COLS = 128
+WIDE_ROWS = 64          # resident sub-packets per wave (compiled)
+INTERPRET_ROWS = 8      # interpret-mode wave width (CI on CPU)
+STACK_DEPTH = 64
+MAX_ITERS = 1 << 22
+
+TRI_SLOTS = 16
+TRIS_PER_ROW = LANE_COLS // TRI_SLOTS
+
+DONE = -(1 << 30)
+VMEM_TRI_LIMIT = 400_000
+
+
+def wide8_supported(bvh: BVH) -> bool:
+    return bvh.nodes8 is not None and bvh.tris.shape[0] <= VMEM_TRI_LIMIT
+
+
+def _unified_table8(bvh: BVH) -> tuple[Array, Array]:
+    """Rows [0, NR): BVH8 node records (48 f32-bitcast AABB floats, child
+    ids at lanes 48-55).  Row NR: zero sentinel.  Rows (NR, NR+TR]: tri
+    records identical to traverse_wide's."""
+    nodes8 = bvh.nodes8          # (M, 48) f32
+    child8 = bvh.child8          # (M, 8) i32
+    tris = bvh.tris              # (T, 12) f32
+    flags = bvh.tri_flags        # (T,) i32
+    m, t = nodes8.shape[0], tris.shape[0]
+
+    node_rec = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(nodes8, jnp.int32),
+            child8.astype(jnp.int32),
+            jnp.zeros((m, LANE_COLS - 56), jnp.int32),
+        ],
+        axis=1,
+    )
+
+    flag_cols = jnp.stack(
+        [
+            (flags & 1).astype(jnp.float32),
+            ((flags & 6) != 0).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    tri_index = jnp.arange(t, dtype=jnp.float32)[:, None]
+    tri_rec = jnp.concatenate(
+        [
+            tris[:, :9],
+            flag_cols,
+            tri_index,
+            jnp.zeros((t, TRI_SLOTS - 12), jnp.float32),
+        ],
+        axis=1,
+    )
+    rows = -(-t // TRIS_PER_ROW) * TRIS_PER_ROW
+    tri_rec = jnp.pad(tri_rec, ((0, rows - t), (0, 0)))
+    tri_part = jax.lax.bitcast_convert_type(
+        tri_rec.reshape(-1, LANE_COLS), jnp.int32
+    )
+    sentinel = jnp.zeros((1, LANE_COLS), jnp.int32)
+    table = jnp.concatenate([node_rec, sentinel, tri_part], axis=0)
+    return table, m
+
+
+def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
+    tiny = 1e-30
+    big = 3.0e38
+
+    def kernel(
+        uni_ref,
+        pox, poy, poz,
+        pdx, pdy, pdz,
+        ptmin, ptmax,
+        obest, otri, ohit, octr,
+        rix, riy, riz,
+        wbest,
+        nscr, wtri, whit, meta, stack,
+    ):
+        colw = jax.lax.broadcasted_iota(jnp.int32, (W, LANE_COLS), 1)
+        zf = jnp.zeros((W, LANE_COLS), jnp.float32)
+        zi = jnp.zeros((W, LANE_COLS), jnp.int32)
+
+        def safe_inv(c):
+            return 1.0 / jnp.where(
+                jnp.abs(c) < tiny, jnp.where(c < 0, -tiny, tiny), c
+            )
+
+        def fetch_addr(c):
+            """(table row, lane shift) for cursor c — (W, 1) vector ops."""
+            ii = c >= 0
+            isdone = c == DONE
+            start = (~c) >> 4
+            row = jnp.where(
+                ii, c, jnp.where(isdone, nr_rows, nr_rows + 1 + (start >> 3))
+            )
+            sh = jnp.where(ii | isdone, 0, (start & 7) << 4)
+            return row, sh
+
+        def body(state):
+            it, _, n_int, n_leaf = state
+
+            for j in range(W):
+                nscr[pl.ds(j, 1), :] = pltpu.roll(
+                    uni_ref[pl.ds(meta[j, 3], 1), :], shift=-meta[j, 4], axis=1
+                )
+
+            c_all = meta[:, 0:1] + zi  # lane-replicated
+            ii_m = c_all >= 0
+            il_m = (c_all < 0) & (c_all != DONE)
+            done_m = c_all == DONE
+
+            def colf(i):
+                return pltpu.bitcast(nscr[:, i : i + 1], jnp.float32)
+
+            ox, oy, oz = pox[...], poy[...], poz[...]
+            ix, iy, iz = rix[...], riy[...], riz[...]
+            t_min = ptmin[...]
+            best = wbest[...]
+
+            # --- 8-child slab tests; per-child row entry distance (W, 1) ---
+            ts, cs = [], []
+            for k in range(8):
+                b = k * 6
+                ax = (colf(b + 0) - ox) * ix
+                bx = (colf(b + 3) - ox) * ix
+                ay = (colf(b + 1) - oy) * iy
+                by = (colf(b + 4) - oy) * iy
+                az = (colf(b + 2) - oz) * iz
+                bz = (colf(b + 5) - oz) * iz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+                    jnp.maximum(jnp.minimum(az, bz), t_min),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+                    jnp.minimum(jnp.maximum(az, bz), best),
+                )
+                tk = jnp.min(
+                    jnp.where(tn <= tf, tn, big), axis=1, keepdims=True
+                )
+                # broadcast the row key/child to full lane width: narrow
+                # (W, 1) arithmetic chains measured ~10x slower than full
+                # (W, 128) ops (per-op layout conversions), so the sorting
+                # network below runs on lane-replicated values
+                ts.append(jnp.where(ii_m, tk + zf, big))
+                cs.append(nscr[:, 48 + k : 49 + k] + zi)
+
+            # near-ordered traversal: sort the 8 (distance, child) pairs per
+            # row with a Batcher network, FARTHEST first.  Hit children at
+            # slots 0-6 are pushed in that order (so nearer pops earlier);
+            # slot 7 holds the nearest child, which is descended directly.
+            # Without this ordering, leaf visits measured 3x higher on
+            # Sponza-class scenes (far leaves tested before best-t tightens).
+            if not any_hit:
+                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                       (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                       (5, 6)]
+                for a, b2 in net:
+                    swap = ts[a] < ts[b2]  # descending by distance
+                    ta = jnp.where(swap, ts[b2], ts[a])
+                    tb = jnp.where(swap, ts[a], ts[b2])
+                    ca = jnp.where(swap, cs[b2], cs[a])
+                    cb = jnp.where(swap, cs[a], cs[b2])
+                    ts[a], ts[b2], cs[a], cs[b2] = ta, tb, ca, cb
+
+            hits = [t < big for t in ts]
+            # after the descending sort the nearest hit is the HIGHEST hit
+            # index: descend it, push the rest (k ascending = far to near,
+            # so the nearest alternative pops first)
+            nxt_int = jnp.zeros_like(c_all) + DONE
+            for k in range(8):
+                nxt_int = jnp.where(hits[k], cs[k], nxt_int)
+            any1 = hits[0]
+            for k in range(1, 8):
+                any1 = any1 | hits[k]
+            # push child k iff hit AND a nearer (later-index) hit exists
+            later = [None] * 8
+            acc = jnp.zeros_like(hits[0])
+            for k in range(7, -1, -1):
+                later[k] = acc
+                acc = acc | hits[k]
+
+            # --- leaf math (identical to traverse_wide) ---
+            lf = pltpu.bitcast(nscr[...], jnp.float32)
+            dx, dy, dz = pdx[...], pdy[...], pdz[...]
+            tri_best = wtri[...]
+            hit_found = whit[...] != 0
+
+            def coll(i):
+                return lf[:, i : i + 1]
+
+            for k in range(LEAF_TESTS):
+                b = k * TRI_SLOTS
+                v0x, v0y, v0z = coll(b + 0), coll(b + 1), coll(b + 2)
+                e1x, e1y, e1z = coll(b + 3), coll(b + 4), coll(b + 5)
+                e2x, e2y, e2z = coll(b + 6), coll(b + 7), coll(b + 8)
+                cull_disable = coll(b + 9) > 0.5
+                candidate = coll(b + 10) > 0.5
+                tid = coll(b + 11)
+
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < tiny, 1.0, det)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                mu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                mv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                mt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+
+                valid = (
+                    il_m
+                    & candidate
+                    & (jnp.abs(det) > tiny)
+                    & (mu >= 0.0) & (mv >= 0.0) & (mu + mv <= 1.0)
+                    & (mt >= t_min) & (mt < best)
+                )
+                if cull_backface:
+                    valid &= (det > tiny) | cull_disable
+
+                best = jnp.where(valid, mt, best)
+                tri_best = jnp.where(valid, tid.astype(jnp.int32), tri_best)
+                hit_found |= valid
+
+            wbest[...] = best
+            wtri[...] = tri_best
+            whit[...] = hit_found.astype(jnp.int32)
+
+            # --- vectorized decision: push all non-taken hit children ---
+            sp = meta[:, 1:2] + zi  # lane-replicated
+
+            lstart = (~c_all) >> 4
+            lend = lstart + ((~c_all) & 15) - 1
+            row2 = lend >> 3
+            extra = il_m & (row2 != (lstart >> 3))
+            leaf2 = ~(((row2 << 3) << 4) | 1)
+
+            # interior pushes: every hit child except the descended
+            # (nearest) one, in ascending slot order = far to near, so the
+            # nearest alternative is on top of the stack
+            stk = stack[...]
+            cnt = jnp.zeros_like(sp)
+            for k in range(7):  # slot 7 is never pushed (it is descended)
+                pushk = hits[k] & later[k]
+                pos = sp + cnt
+                stk = jnp.where(
+                    (colw == pos) & pushk & (pos < STACK_DEPTH), cs[k], stk
+                )
+                cnt = cnt + jnp.where(pushk & (pos < STACK_DEPTH), 1, 0)
+
+            # leaf continuation push
+            pos = sp + cnt
+            push_leaf = extra & (pos < STACK_DEPTH)
+            stk = jnp.where((colw == pos) & push_leaf, leaf2, stk)
+            cnt = cnt + jnp.where(push_leaf, 1, 0)
+            stack[...] = stk
+            sp2 = sp + cnt
+
+            can_pop = sp2 > 0
+            top = jnp.sum(
+                jnp.where(colw == sp2 - 1, stk, 0), axis=1, keepdims=True
+            )
+            newc = jnp.where(
+                any1, nxt_int, jnp.where(can_pop, top, DONE)
+            )
+            popped = (~any1) & (~done_m) & can_pop
+            sp3 = sp2 - jnp.where(popped, 1, 0)
+            newc = jnp.where(done_m, DONE, newc)
+            if any_hit:
+                lane_done = hit_found | (t_min > wbest[...])
+                row_done = il_m & (
+                    jnp.min(jnp.where(lane_done, 1, 0), axis=1, keepdims=True)
+                    > 0
+                )
+                newc = jnp.where(row_done, DONE, newc)
+
+            rowv, shv = fetch_addr(newc)
+            meta[...] = jnp.where(
+                colw == 0, newc,
+                jnp.where(
+                    colw == 1, sp3,
+                    jnp.where(colw == 3, rowv,
+                              jnp.where(colw == 4, shv, meta[...])),
+                ),
+            )
+
+            # newc is lane-replicated (W, 128): the idle sum counts lanes
+            idle_now = jnp.sum(jnp.where(newc == DONE, 1, 0))
+            alldone = idle_now >= W * LANE_COLS
+
+            # ii_m/il_m are lane-replicated; divide back at octr write
+            n_int += jnp.sum(jnp.where(ii_m, 1, 0))
+            n_leaf += jnp.sum(jnp.where(il_m, 1, 0))
+            return (it + 1, alldone, n_int, n_leaf)
+
+        def block4(state):
+            for _ in range(4):
+                state = body(state)
+            return state
+
+        def cond(state):
+            return (~state[1]) & (state[0] < MAX_ITERS)
+
+        rix[...] = safe_inv(pdx[...])
+        riy[...] = safe_inv(pdy[...])
+        riz[...] = safe_inv(pdz[...])
+        tminr = ptmin[...]
+        tmaxr = ptmax[...]
+        wbest[...] = jnp.minimum(tmaxr, big)
+        wtri[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+        whit[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+        live = jnp.sum(
+            jnp.where(tminr <= tmaxr, 1, 0), axis=1, keepdims=True
+        )
+        cur0 = jnp.where(live > 0, 0, DONE)
+        row0, sh0 = fetch_addr(cur0)
+        meta[...] = jnp.where(
+            colw == 0, cur0,
+            jnp.where(colw == 3, row0, jnp.where(colw == 4, sh0, 0)),
+        )
+
+        trips, _, n_int, n_leaf = jax.lax.while_loop(
+            cond, block4, (jnp.int32(0), False, jnp.int32(0), jnp.int32(0))
+        )
+
+        obest[...] = wbest[...]
+        otri[...] = wtri[...]
+        ohit[...] = whit[...]
+
+        shape = (8, LANE_COLS)
+        iters = jnp.zeros(shape, jnp.int32) + trips
+        colix = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        iters = jnp.where(colix == 1, n_int // LANE_COLS, iters)
+        iters = jnp.where(colix == 2, n_leaf // LANE_COLS, iters)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            octr[...] = jnp.zeros(shape, jnp.int32)
+
+        octr[...] = octr[...] + iters
+
+    return kernel
+
+
+# not @jax.jit: nested-jit executable-resolution bug + top-level-only
+# compiler options (see core.jit_utils)
+def _traverse_wide8_packed(
+    table: Array,
+    nr_rows: int,
+    bvh_tris: Array,
+    o: Array,
+    d: Array,
+    t_min: Array,
+    t_max: Array,
+    cull_backface: bool,
+    any_hit: bool,
+    interpret: bool = False,
+    return_counters: bool = False,
+):
+    r_orig = o.shape[0]
+    # interpret mode pays per-row python cost; keep the resident set small
+    W = INTERPRET_ROWS if interpret else WIDE_ROWS
+    raw_pack = -(-r_orig // LANE_COLS)
+    pool_rows = -(-raw_pack // W) * W
+    n_waves = pool_rows // W
+    r = pool_rows * LANE_COLS
+
+    def comp(a, j, fill):
+        return _pad_to(a[:, j], r, fill).reshape(pool_rows, LANE_COLS)
+
+    ox, oy, oz = comp(o, 0, 0.0), comp(o, 1, 0.0), comp(o, 2, 0.0)
+    dx, dy, dz = comp(d, 0, 1.0), comp(d, 1, 1.0), comp(d, 2, 1.0)
+    tmin2 = _pad_to(t_min, r, 1.0).reshape(pool_rows, LANE_COLS)
+    tmax2 = _pad_to(t_max, r, 0.0).reshape(pool_rows, LANE_COLS)
+
+    tab_spec = pl.BlockSpec(
+        table.shape, lambda w: (0, 0), memory_space=pltpu.VMEM
+    )
+    wave_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (W, LANE_COLS), lambda w: (w, 0), memory_space=pltpu.VMEM
+    )
+    ctr_spec = pl.BlockSpec(
+        (8, LANE_COLS), lambda w: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((8, LANE_COLS), jnp.int32),
+    ]
+
+    f32scr = lambda: pltpu.VMEM((W, LANE_COLS), jnp.float32)  # noqa: E731
+    i32scr = lambda: pltpu.VMEM((W, LANE_COLS), jnp.int32)  # noqa: E731
+
+    call = pl.pallas_call(
+        _kernel(cull_backface, any_hit, nr_rows, W),
+        grid=(n_waves,),
+        in_specs=[tab_spec] + [wave_spec() for _ in range(8)],
+        out_specs=[wave_spec(), wave_spec(), wave_spec(), ctr_spec],
+        out_shape=out_shape,
+        scratch_shapes=[f32scr() for _ in range(4)]
+        + [i32scr() for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    best, tri, hit_i, iters = call(
+        table, ox, oy, oz, dx, dy, dz, tmin2, tmax2
+    )
+    iters = iters[None, 0, :3]
+
+    def flat(x):
+        return x.reshape(r)[:r_orig]
+
+    hit_found = flat(hit_i) != 0
+    tri_f = flat(tri)
+
+    tiny = jnp.float32(1e-30)
+    rec = bvh_tris[jnp.where(hit_found, tri_f, 0)]
+    pvec = jnp.cross(d, rec[:, 6:9])
+    fdet = jnp.sum(rec[:, 3:6] * pvec, axis=-1)
+    finv = 1.0 / jnp.where(jnp.abs(fdet) < tiny, 1.0, fdet)
+    tvec = o - rec[:, 0:3]
+    fu = jnp.sum(tvec * pvec, axis=-1) * finv
+    fv = jnp.sum(d * jnp.cross(tvec, rec[:, 3:6]), axis=-1) * finv
+
+    t = jnp.where(hit_found, flat(best), _BIG_T)
+    result = Hit(t=t, u=fu, v=fv, tri=tri_f, backface=hit_found & (fdet < 0.0))
+    if return_counters:
+        return result, iters
+    return result
+
+
+from vulkanraytracing_tpu.core.jit_utils import hot_jit
+
+_traverse_wide8_jitted = hot_jit(
+    _traverse_wide8_packed,
+    static_argnames=(
+        "nr_rows", "cull_backface", "any_hit", "interpret", "return_counters"
+    ),
+)
+
+
+def _dispatch(o):
+    import jax.core
+
+    return (
+        _traverse_wide8_packed
+        if isinstance(o, jax.core.Tracer)
+        else _traverse_wide8_jitted
+    )
+
+
+def _with_bvh8(bvh: BVH) -> BVH:
+    if bvh.nodes8 is not None:
+        return bvh
+    from vulkanraytracing_tpu.accel.bvh8 import collapse_bvh8
+
+    return collapse_bvh8(bvh)
+
+
+def intersect_closest(
+    geom: TraceGeometry,
+    bvh: BVH,
+    o: Array,
+    d: Array,
+    t_min: Array,
+    t_max: Array,
+    cull_backface: bool = True,
+) -> Hit:
+    bvh = _with_bvh8(bvh)
+    if not wide8_supported(bvh):
+        from vulkanraytracing_tpu.ops import traverse_wide
+
+        return traverse_wide.intersect_closest(
+            geom, bvh, o, d, t_min, t_max, cull_backface=cull_backface
+        )
+    del geom
+    table, nr = _unified_table8(bvh)
+    return _dispatch(o)(
+        table, nr, bvh.tris,
+        o, d, t_min, t_max,
+        cull_backface=cull_backface, any_hit=False,
+        interpret=_use_interpret(),
+    )
+
+
+def intersect_any(
+    geom: TraceGeometry,
+    bvh: BVH,
+    o: Array,
+    d: Array,
+    t_min: Array,
+    t_max: Array,
+) -> Array:
+    bvh = _with_bvh8(bvh)
+    if not wide8_supported(bvh):
+        from vulkanraytracing_tpu.ops import traverse_wide
+
+        return traverse_wide.intersect_any(geom, bvh, o, d, t_min, t_max)
+    del geom
+    table, nr = _unified_table8(bvh)
+    hit = _dispatch(o)(
+        table, nr, bvh.tris,
+        o, d, t_min, t_max,
+        cull_backface=False, any_hit=True,
+        interpret=_use_interpret(),
+    )
+    return hit.t < _BIG_T

@@ -149,6 +149,11 @@ class BVH(NamedTuple):
     tri_flags: jnp.ndarray    # (T,) i32: bit0 cull_disable, bit1 opaque,
     #                           bit2 alpha_test
     tri_order: jnp.ndarray    # (T,) i32 — sorted-order -> original tri ids
+    # optional 8-wide collapse (accel.bvh8, host-built after the device
+    # build; None when the BVH was built inside a trace).  Same leaf codes;
+    # empty slots carry inverted AABBs so they never hit.
+    nodes8: Optional[jnp.ndarray] = None  # (M, 48) f32 — 8x (lo3, hi3)
+    child8: Optional[jnp.ndarray] = None  # (M, 8) i32
 
 
 class Scene(NamedTuple):
