@@ -125,3 +125,25 @@ def test_cli_render_and_compare(tmp_path):
     assert rc == 0 and out.exists()
     rc = main(["compare", str(out), str(out)])
     assert rc == 0
+
+
+def test_terminal_viewer_headless():
+    """TerminalViewer.frame drives the engine without a tty: keys inject,
+    the camera moves (accumulation resets), mode toggles, ANSI out renders."""
+    from vulkanraytracing_tpu.app.viewer import TerminalViewer
+    from vulkanraytracing_tpu.config import RenderMode
+
+    eng = _engine()
+    v = TerminalViewer(eng, cols=24, rows=10)
+    out = v.frame([])
+    assert "\x1b[38;2;" in out and "spp" in out
+    spp0 = int(eng.state.accum_index)
+    out = v.frame([])
+    assert int(eng.state.accum_index) == spp0 + 1
+
+    v.frame(["w"])  # camera move -> accumulation reset
+    assert int(eng.state.accum_index) == 1
+
+    mode0 = eng.render_mode
+    v.frame(["t"])
+    assert eng.render_mode != mode0

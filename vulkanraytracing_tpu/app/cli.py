@@ -113,6 +113,30 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from vulkanraytracing_tpu.app.engine import Engine
+    from vulkanraytracing_tpu.app.viewer import TerminalViewer
+    from vulkanraytracing_tpu.config import Config, RenderMode, TraversalMode
+    from vulkanraytracing_tpu.scene.camera import Camera
+
+    scene, camera_cfg = _build_scene(args)
+    cfg = Config(
+        width=args.width,
+        height=args.height,
+        render_mode=RenderMode.HYBRID if args.mode == "hybrid" else RenderMode.PATH_TRACING,
+        traversal=TraversalMode.BRUTE_FORCE if args.brute else TraversalMode.BVH_PALLAS,
+    )
+    if camera_cfg is not None:
+        cfg = cfg.replace(camera=camera_cfg)
+    engine = Engine(cfg, scene, Camera(cfg.camera))
+    if not sys.stdin.isatty():
+        print("view requires a tty (WASD fly camera, t toggles mode, q quits)",
+              file=sys.stderr)
+        return 1
+    TerminalViewer(engine).run()
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -165,6 +189,17 @@ def main(argv=None) -> int:
     render.add_argument("--checkpoint", default=None, help="save render state")
     render.add_argument("--resume", default=None, help="resume render state")
     render.set_defaults(fn=cmd_render)
+
+    view = sub.add_parser(
+        "view", help="interactive terminal viewer (WASD fly camera)"
+    )
+    view.add_argument("--scene", default="cornell")
+    view.add_argument("--env", default=None, help="HDR panorama path")
+    view.add_argument("--width", type=int, default=256)
+    view.add_argument("--height", type=int, default=144)
+    view.add_argument("--mode", choices=["pt", "hybrid"], default="pt")
+    view.add_argument("--brute", action="store_true")
+    view.set_defaults(fn=cmd_view)
 
     b = sub.add_parser("bench", help="run the Mrays/s benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -1,0 +1,161 @@
+"""Interactive terminal viewer.
+
+The reference is an interactive GLFW window (Window.cpp, Engine::Run):
+WASD/mouse fly camera, T toggles hybrid/path-traced mode, R reloads, an
+ImGui HUD shows FPS and camera state.  This framework is headless, so the
+interactive surface is the terminal: frames render as ANSI truecolor
+half-block cells (two pixels per character row), keys are read raw from
+the tty and injected into the same event bus the reference's GLFW
+callbacks feed (Window.cpp:12-66 -> Engine.inject_*), and the HUD lines
+are the StatsSystem text bindings (UIRenderSystem analog).
+
+Controls (CameraSystem.cpp / Engine.cpp:222-245 parity):
+  w/a/s/d       move (space/c for up/down)
+  arrow keys    look around (mouse-look analog; h/j/k/l also work)
+  1-5           speed tiers
+  t             toggle render mode (hybrid <-> path tracing)
+  r             reset accumulation ("reload shaders" analog)
+  q / Esc       quit
+
+Run: ``python -m vulkanraytracing_tpu view --scene cornell``.
+Works over ssh; needs a truecolor-capable terminal.
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+import time
+
+import numpy as np
+
+from vulkanraytracing_tpu.app.engine import Engine
+from vulkanraytracing_tpu.app.events import Key, KeyAction
+
+_KEYMAP = {
+    "w": Key.W, "a": Key.A, "s": Key.S, "d": Key.D,
+    " ": Key.SPACE, "c": Key.LEFT_CONTROL,
+    "1": Key.DIGIT_1, "2": Key.DIGIT_2, "3": Key.DIGIT_3,
+    "4": Key.DIGIT_4, "5": Key.DIGIT_5,
+    "t": Key.T, "r": Key.R,
+}
+# arrow/vi keys -> mouse-look deltas in pixels
+_LOOKMAP = {
+    "UP": (0.0, -20.0), "DOWN": (0.0, 20.0),
+    "LEFT": (-20.0, 0.0), "RIGHT": (20.0, 0.0),
+    "k": (0.0, -20.0), "j": (0.0, 20.0),
+    "h": (-20.0, 0.0), "l": (20.0, 0.0),
+}
+
+
+def _ansi_image(img: np.ndarray, cols: int, rows: int) -> str:
+    """(H, W, 3) float [0,1] -> ANSI truecolor half-block string."""
+    h, w = img.shape[:2]
+    # sample the image at the terminal grid (2 pixels per char row)
+    ys = (np.linspace(0, h - 1, rows * 2)).astype(np.int32)
+    xs = (np.linspace(0, w - 1, cols)).astype(np.int32)
+    grid = (np.clip(img[ys][:, xs], 0.0, 1.0) * 255).astype(np.uint8)
+    top = grid[0::2]
+    bot = grid[1::2]
+    lines = []
+    for r in range(rows):
+        parts = []
+        for c in range(cols):
+            tr, tg, tb = top[r, c]
+            br, bg, bb = bot[r, c]
+            parts.append(
+                f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀"
+            )
+        lines.append("".join(parts) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+def _read_keys(timeout: float) -> list[str]:
+    """Non-blocking raw key reads; decodes arrow escape sequences."""
+    keys: list[str] = []
+    while select.select([sys.stdin], [], [], timeout)[0]:
+        timeout = 0.0
+        ch = os.read(sys.stdin.fileno(), 8).decode(errors="ignore")
+        if not ch:
+            break
+        i = 0
+        while i < len(ch):
+            if ch[i] == "\x1b" and ch[i: i + 2] == "\x1b[" and i + 2 < len(ch):
+                keys.append(
+                    {"A": "UP", "B": "DOWN", "C": "RIGHT", "D": "LEFT"}.get(
+                        ch[i + 2], "ESC"
+                    )
+                )
+                i += 3
+            elif ch[i] == "\x1b":
+                keys.append("ESC")
+                i += 1
+            else:
+                keys.append(ch[i])
+                i += 1
+    return keys
+
+
+class TerminalViewer:
+    """Drives an Engine interactively in the terminal."""
+
+    def __init__(self, engine: Engine, cols: int | None = None,
+                 rows: int | None = None):
+        self.engine = engine
+        try:
+            size = os.get_terminal_size()
+            self.cols = cols or max(20, min(size.columns, 160))
+            self.rows = rows or max(10, min(size.lines - 4, 60))
+        except OSError:
+            self.cols = cols or 96
+            self.rows = rows or 40
+
+    def frame(self, keys: list[str]) -> str:
+        """One interactive step: inject keys, draw, return the ANSI frame.
+
+        Split from run() so tests can drive the viewer without a tty."""
+        eng = self.engine
+        for k in keys:
+            if k in _KEYMAP:
+                eng.inject_key(_KEYMAP[k], KeyAction.PRESS)
+                if _KEYMAP[k] not in (Key.T, Key.R):
+                    # terminals deliver no key-up: treat as a tap
+                    self._tap = _KEYMAP[k]
+            elif k in _LOOKMAP:
+                dx, dy = _LOOKMAP[k]
+                x, y = getattr(self, "_mouse", (0.0, 0.0))
+                self._mouse = (x + dx, y + dy)
+                eng.inject_mouse_move(*self._mouse)
+        eng.draw()
+        if getattr(self, "_tap", None) is not None:
+            eng.inject_key(self._tap, KeyAction.RELEASE)
+            self._tap = None
+        img = eng.display_image()
+        hud = " | ".join(eng.hud_lines())
+        body = _ansi_image(np.asarray(img), self.cols, self.rows)
+        return f"\x1b[H{body}\n\x1b[K{hud}"
+
+    def run(self) -> None:
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        sys.stdout.write("\x1b[2J\x1b[?25l")  # clear, hide cursor
+        try:
+            tty.setcbreak(fd)
+            while True:
+                t0 = time.time()
+                keys = _read_keys(0.0)
+                if any(k in ("q", "ESC") for k in keys):
+                    break
+                sys.stdout.write(self.frame(keys))
+                sys.stdout.flush()
+                # cap redraw rate; leave the device busy, not the tty
+                dt = time.time() - t0
+                if dt < 0.05:
+                    time.sleep(0.05 - dt)
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+            sys.stdout.write("\x1b[?25h\x1b[0m\n")  # restore cursor
