@@ -4,6 +4,7 @@ test, analytic single-triangle render, backend consistency
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vulkanraytracing_tpu.accel import build_scene_bvh
 from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode
@@ -133,9 +134,13 @@ def test_white_furnace():
     assert 0.95 < img.mean() < 1.005, img.mean()
 
 
-def test_bvh_and_brute_render_identically():
-    """The two trace backends (the reference's eRayTracing/eRayQueries
-    analog) must produce the same image on the same scene."""
+@pytest.mark.parametrize(
+    "mode", [TraversalMode.BVH, TraversalMode.BVH_PALLAS]
+)
+def test_backends_render_identically(mode):
+    """All trace backends (the reference's eRayTracing/eRayQueries analog)
+    must produce the same image on the same scene — including the
+    production Pallas path (wide8 kernel, interpret mode on CPU)."""
     cam_cfg = CameraConfig(
         position=(0.0, 0.0, 3.2), aspect_ratio=1.0, x_fov=float(np.radians(60.0))
     )
@@ -145,7 +150,7 @@ def test_bvh_and_brute_render_identically():
     st_brute, _ = render_frame(scene, cfg_b, cam, create_render_state(cfg_b))
 
     scene_bvh = build_scene_bvh(scene)
-    cfg_v = _cfg(camera=cam_cfg, traversal=TraversalMode.BVH)
+    cfg_v = _cfg(camera=cam_cfg, traversal=mode)
     st_bvh, _ = render_frame(scene_bvh, cfg_v, cam, create_render_state(cfg_v))
 
     a = np.asarray(st_brute.accumulation)

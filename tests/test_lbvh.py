@@ -175,3 +175,26 @@ def test_nonuniform_leaf_sizes():
         np.testing.assert_array_equal(
             np.asarray(brute.is_hit), np.asarray(fast.is_hit)
         )
+
+
+def test_bvh8_native_collapse_matches_python():
+    """The C++ collapse (native/bvh8_collapse.cpp) must be byte-identical
+    to the Python oracle, including area-sort tie-breaking."""
+    import numpy as np
+    import pytest
+
+    from vulkanraytracing_tpu.accel import bvh8 as bvh8_mod
+    from vulkanraytracing_tpu.accel.sah import build_bvh_sah
+    from vulkanraytracing_tpu.scene.procedural import triangle_soup_scene
+
+    if bvh8_mod._load_library() is None:
+        pytest.skip("no native toolchain")
+    geom, bvh = build_bvh_sah(triangle_soup_scene(5000, seed=9).geometry)
+    native = bvh8_mod.collapse_bvh8(bvh)
+    oracle = bvh8_mod.collapse_bvh8(bvh, force_python=True)
+    np.testing.assert_array_equal(
+        np.asarray(native.nodes8), np.asarray(oracle.nodes8)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(native.child8), np.asarray(oracle.child8)
+    )

@@ -25,20 +25,89 @@ table and leaf pipeline with the 2-wide one.
 
 from __future__ import annotations
 
+import ctypes
+import subprocess
+from pathlib import Path
+
 import numpy as np
 
 from vulkanraytracing_tpu.scene.types import BVH
+from vulkanraytracing_tpu.utils import ScopeTime, log_d
 
 _BIG = np.float32(3.0e38)
 
+_NATIVE_DIR = Path(__file__).parent.parent / "native"
+_LIB: ctypes.CDLL | None = None
 
-def collapse_bvh8(bvh: BVH) -> BVH:
+
+def _load_library() -> ctypes.CDLL | None:
+    """Compile-on-demand ctypes bridge (same pattern as accel/sah.py)."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    try:
+        src = _NATIVE_DIR / "bvh8_collapse.cpp"
+        so = _NATIVE_DIR / "build" / "libbvh8_collapse.so"
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            so.parent.mkdir(exist_ok=True)
+            with ScopeTime("compile bvh8_collapse"):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", str(so), str(src)],
+                    check=True,
+                )
+        lib = ctypes.CDLL(str(so))
+        lib.collapse_bvh8.restype = ctypes.c_int
+        lib.collapse_bvh8.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # nodes (n, 12)
+            ctypes.POINTER(ctypes.c_int),    # child (n, 2)
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),  # nodes8 out (n, 48)
+            ctypes.POINTER(ctypes.c_int),    # child8 out (n, 8)
+        ]
+        _LIB = lib
+    except Exception as e:  # no toolchain — Python fallback
+        log_d(f"bvh8 native collapse unavailable ({e}); using Python")
+        _LIB = None
+    return _LIB
+
+
+def _collapse_native(nodes: np.ndarray, child: np.ndarray):
+    lib = _load_library()
+    if lib is None:
+        return None
+    n = nodes.shape[0]
+    nodes = np.ascontiguousarray(nodes, np.float32)
+    child = np.ascontiguousarray(child, np.int32)
+    nodes8 = np.empty((n, 48), np.float32)
+    child8 = np.empty((n, 8), np.int32)
+    m = lib.collapse_bvh8(
+        nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        child.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n,
+        nodes8.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        child8.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return nodes8[:m].copy(), child8[:m].copy()
+
+
+def collapse_bvh8(bvh: BVH, force_python: bool = False) -> BVH:
     """Attach (nodes8, child8) to a host-concrete BVH; no-op under trace."""
     try:
         nodes = np.asarray(bvh.nodes)
         child = np.asarray(bvh.child_index)
     except Exception:
         return bvh  # traced values — leave nodes8 unset
+
+    if not force_python:
+        native = _collapse_native(nodes, child)
+        if native is not None:
+            import jax.numpy as jnp
+
+            nodes8, child8 = native
+            return bvh._replace(
+                nodes8=jnp.asarray(nodes8), child8=jnp.asarray(child8)
+            )
 
     n = nodes.shape[0]
     # surface area of each child slot of every BVH2 node
