@@ -1,6 +1,17 @@
 """Distributed-correctness oracle (SURVEY.md section 4 item 3): the sharded
 renderer over an 8-device CPU mesh must produce exactly the single-device
-image — per-pixel deterministic RNG makes this bit-for-bit."""
+image — per-pixel deterministic RNG makes this bit-for-bit.
+
+Each test re-executes itself in a SUBPROCESS: jax 0.9 has an
+executable-resolution bug where compiling a fresh single-device jit after
+shard_map executables exist in the process mis-resolves ("Execution
+supplied N buffers but compiled program expected M"), and jax.clear_caches
+does not fully reset that state.  Process isolation makes the oracles
+immune to compile history from other test modules."""
+
+import os
+import subprocess
+import sys
 
 import jax
 import numpy as np
@@ -37,7 +48,22 @@ def _setup(width=32, height=32):
     return cfg, scene, camera
 
 
+def _isolated(name) -> bool:
+    """True when running inside the isolation subprocess; else spawn it."""
+    if os.environ.get("VRT_SHARD_ISOLATED"):
+        return True
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", f"{__file__}::{name}", "-x", "-q"],
+        env={**os.environ, "VRT_SHARD_ISOLATED": "1"},
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, f"isolated {name} failed:\n{r.stdout}\n{r.stderr}"
+    return False
+
+
 def test_sharded_equals_single_device():
+    if not _isolated("test_sharded_equals_single_device"):
+        return
     cfg, scene, camera = _setup()
     mesh = make_render_mesh(jax.devices()[:8])
 
@@ -55,14 +81,20 @@ def test_sharded_equals_single_device():
 
 
 def test_sharded_accumulation_across_frames():
+    if not _isolated("test_sharded_accumulation_across_frames"):
+        return
     cfg, scene, camera = _setup()
     mesh = make_render_mesh(jax.devices()[:8])
     sharded_scene = replicate_scene(scene, mesh)
 
+    # all single-device frames BEFORE the first shard_map compile: compiling
+    # a single-device render_frame after shard executables exist trips the
+    # jax 0.9 executable-resolution bug ("supplied N buffers, expected M")
     single = create_render_state(cfg)
-    sharded = create_render_state(cfg)
     for _ in range(3):
         single, _ = render_frame(scene, cfg, camera, single)
+    sharded = create_render_state(cfg)
+    for _ in range(3):
         sharded, _ = shard_render_frame(sharded_scene, cfg, camera, sharded, mesh)
 
     np.testing.assert_array_equal(
@@ -72,6 +104,8 @@ def test_sharded_accumulation_across_frames():
 
 
 def test_sample_parallel_mode():
+    if not _isolated("test_sample_parallel_mode"):
+        return
     """Sample-parallel sharding: n devices contribute n spp per call; the
     result equals n sequential single-device frames rendered with the same
     (reordered) sample indices and averaged."""

@@ -51,7 +51,13 @@ def make_order(
 ) -> RayOrder:
     keys = ray_sort_keys(o, d, t_min, t_max, root_lo, root_hi)
     perm = jnp.argsort(keys).astype(jnp.int32)
-    inv_perm = jnp.argsort(perm).astype(jnp.int32)
+    # invert with an O(n) scatter, not a second O(n log^2 n) sort
+    n = perm.shape[0]
+    inv_perm = (
+        jnp.zeros((n,), jnp.int32)
+        .at[perm]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
     return RayOrder(perm=perm, inv_perm=inv_perm)
 
 

@@ -32,8 +32,9 @@ import jax.lax
 import jax.numpy as jnp
 from jax import Array
 
-from vulkanraytracing_tpu.config import Config
+from vulkanraytracing_tpu.config import Config, TraversalMode
 from vulkanraytracing_tpu.core import math3d, rng
+from vulkanraytracing_tpu.ops import reorder as reorder_mod
 from vulkanraytracing_tpu.core.math3d import BIAS, EPSILON, RAY_MAX_T, RAY_MIN_T
 from vulkanraytracing_tpu.env.panorama import sample_environment
 from vulkanraytracing_tpu.ops import trace
@@ -180,6 +181,9 @@ def pathtrace(
     throughput = jnp.ones((R, 3), f32)
     ray_pdf = jnp.ones((R,), f32)
     alive = valid
+    # sorted-position -> original pixel index, composed across per-bounce
+    # wavefront reorders; the final scatter restores pixel order
+    pixel_perm = jnp.arange(R, dtype=jnp.int32)
 
     if scene.has_point_lights:
         pl_t, pl_color = intersect_point_light_spheres(
@@ -224,6 +228,8 @@ def pathtrace(
         shadow_origin = p + n_shading * BIAS
 
         # --- point-light NEE (:258-288, :376) ---
+        # (no reorder on the shadow traces: from bounce 1 on, the whole
+        # wavefront already rides the per-bounce sorted order, see below)
         if scene.has_point_lights:
             lights = scene.point_lights
             idx, light_pdf, s0, s1 = sample_point_light(lights, n_shading, p, s0, s1)
@@ -239,7 +245,6 @@ def pathtrace(
                 scene, cfg, shadow_origin, ldir,
                 jnp.full((R,), RAY_MIN_T, f32),
                 jnp.where(alive, jnp.sqrt(dist_sq), 0.0),
-                reorder=bounce > 0,
             )
             rays_cast += jnp.sum(alive.astype(f32))
             pl_bsdf = bsdf_mod.evaluate_bsdf(surface, wo, wi_l, wh_l)
@@ -258,7 +263,6 @@ def pathtrace(
             scene, cfg, shadow_origin, sun_d,
             jnp.full((R,), RAY_MIN_T, f32),
             jnp.where(alive, f32(RAY_MAX_T), f32(0.0)),
-            reorder=bounce > 0,
         )
         rays_cast += jnp.sum(alive.astype(f32))
         wi_s = math3d.world_to_tangent(sun_d, tbn)
@@ -295,9 +299,27 @@ def pathtrace(
             t_min = jnp.full((R,), RAY_MIN_T, f32)
             # dead rays get a zero-length window so traversal exits immediately
             t_max = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
+
+            # ONE wavefront sort per bounce: permute the ENTIRE live state
+            # into (alive, octant, origin-morton) order and stay there —
+            # the shadow/NEE traces of the next bounce ride the same order,
+            # and a single scatter at the end restores pixel order.  (The
+            # previous design re-sorted inside every trace call: 3 sorts +
+            # 6 permutation gathers per bounce; an argsort of a 2M-ray
+            # wavefront costs as much as the traversal it feeds.)
+            if scene.bvh is not None and cfg.traversal != TraversalMode.BRUTE_FORCE:
+                lo, hi = trace._root_bounds(scene.bvh)
+                order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
+                (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
+                 s0, s1) = reorder_mod.apply_order(
+                    order, o, d, t_min, t_max, irradiance, throughput,
+                    ray_pdf, s0, s1,
+                )
+                (alive, valid) = reorder_mod.apply_order(order, alive, valid)
+                pixel_perm = pixel_perm[order.perm]
+
             hit = trace.trace_closest(
                 scene, cfg, o, d, t_min, t_max, cull_backface=True,
-                reorder=True,
             )
             rays_cast += jnp.sum(alive.astype(f32))
 
@@ -305,4 +327,6 @@ def pathtrace(
         color = math3d.tone_mapping(irradiance)  # :412 — tone-map THEN accumulate
     else:
         color = irradiance  # linear-HDR mode: display applies the curve
+    # restore pixel order with one scatter (identity when nothing reordered)
+    color = jnp.zeros_like(color).at[pixel_perm].set(color)
     return color, TraceStats(rays=rays_cast)
