@@ -227,9 +227,13 @@ def pathtrace(
         wo = math3d.normalize(math3d.world_to_tangent(-d, tbn))
         shadow_origin = p + n_shading * BIAS
 
-        # --- point-light NEE (:258-288, :376) ---
-        # (no reorder on the shadow traces: from bounce 1 on, the whole
-        # wavefront already rides the per-bounce sorted order, see below)
+        # --- point-light + sun NEE (:258-312, :376-378) ---
+        # Both visibility ray sets go through ONE traversal call per bounce
+        # (concatenated; each set stays contiguous so its wave packets keep
+        # their own coherence).  No reorder: from bounce 1 on the whole
+        # wavefront already rides the per-bounce sorted order, see below.
+        sun_d = jnp.broadcast_to(sun_dir, (R, 3))
+        sun_tmax = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
         if scene.has_point_lights:
             lights = scene.point_lights
             idx, light_pdf, s0, s1 = sample_point_light(lights, n_shading, p, s0, s1)
@@ -241,12 +245,17 @@ def pathtrace(
             ldir = math3d.normalize(delta)
             wi_l = math3d.world_to_tangent(ldir, tbn)
             wh_l = math3d.normalize(wo + wi_l)
-            occluded = trace.trace_any(
-                scene, cfg, shadow_origin, ldir,
-                jnp.full((R,), RAY_MIN_T, f32),
-                jnp.where(alive, jnp.sqrt(dist_sq), 0.0),
+            occ = trace.trace_any(
+                scene, cfg,
+                jnp.concatenate([shadow_origin, shadow_origin]),
+                jnp.concatenate([ldir, sun_d]),
+                jnp.full((2 * R,), RAY_MIN_T, f32),
+                jnp.concatenate(
+                    [jnp.where(alive, jnp.sqrt(dist_sq), 0.0), sun_tmax]
+                ),
             )
-            rays_cast += jnp.sum(alive.astype(f32))
+            occluded, sun_occluded = occ[:R], occ[R:]
+            rays_cast += 2.0 * jnp.sum(alive.astype(f32))
             pl_bsdf = bsdf_mod.evaluate_bsdf(surface, wo, wi_l, wh_l)
             contrib = (
                 pl_bsdf
@@ -256,15 +265,13 @@ def pathtrace(
             )
             contrib = jnp.where((alive & ~occluded)[:, None], contrib, 0.0)
             irradiance += contrib * throughput / ray_pdf[:, None]
-
-        # --- sun NEE (:291-312, :378) ---
-        sun_d = jnp.broadcast_to(sun_dir, (R, 3))
-        sun_occluded = trace.trace_any(
-            scene, cfg, shadow_origin, sun_d,
-            jnp.full((R,), RAY_MIN_T, f32),
-            jnp.where(alive, f32(RAY_MAX_T), f32(0.0)),
-        )
-        rays_cast += jnp.sum(alive.astype(f32))
+        else:
+            sun_occluded = trace.trace_any(
+                scene, cfg, shadow_origin, sun_d,
+                jnp.full((R,), RAY_MIN_T, f32),
+                sun_tmax,
+            )
+            rays_cast += jnp.sum(alive.astype(f32))
         wi_s = math3d.world_to_tangent(sun_d, tbn)
         wh_s = math3d.normalize(wo + wi_s)
         sun_bsdf = bsdf_mod.evaluate_bsdf(surface, wo, wi_s, wh_s)
