@@ -41,11 +41,13 @@ _I32 = jnp.int32
 _U32 = jnp.uint32
 
 # Max triangles per collapsed leaf; 4 bits of the leaf encoding hold the
-# count, so this must stay <= 15.  The sub-packet kernel unrolls exactly
-# this many Moller-Trumbore tests per leaf visit; 4 measured faster than 8
-# on Sponza-class scenes (leaf vector work dominates traversal time, and
-# smaller leaves waste fewer tests per visit than they add visits).
-LEAF_SIZE = 4
+# count, so this must stay <= 15.  The traversal kernels unroll exactly
+# this many Moller-Trumbore tests per leaf visit.  For the gen-2 subpacket
+# kernel 4 measured faster than 8 (leaf vector work dominated); for the
+# production wide8 kernel the scarce resource is loop TRIPS, and 8 measured
+# ~6% faster on Sponza-class scenes (fewer leaf+interior visits, and half
+# the leaf nodes feeding the BVH8 collapse).
+LEAF_SIZE = 8
 
 
 def encode_leaf(start: Array, count: Array) -> Array:
