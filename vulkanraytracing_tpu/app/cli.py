@@ -72,6 +72,13 @@ def _build_scene(args):
     return scene, camera_cfg
 
 
+def _scene_needs_alpha(scene) -> bool:
+    """Static: does any triangle carry the alpha-test (cutout) flag?"""
+    return scene.textures is not None and bool(
+        np.asarray(scene.geometry.alpha_test).any()
+    )
+
+
 def cmd_render(args) -> int:
     from vulkanraytracing_tpu.app.engine import Engine
     from vulkanraytracing_tpu.app.image_io import write_png, write_radiance_npy
@@ -87,6 +94,7 @@ def cmd_render(args) -> int:
         traversal=TraversalMode.BRUTE_FORCE if args.brute else TraversalMode.BVH_PALLAS,
         parity_quantization=not args.hdr_accumulation,
         tone_map_before_accumulation=not args.hdr_accumulation,
+        alpha_visibility=_scene_needs_alpha(scene),
     )
     if camera_cfg is not None:
         cfg = cfg.replace(camera=camera_cfg)
@@ -125,6 +133,7 @@ def cmd_view(args) -> int:
         height=args.height,
         render_mode=RenderMode.HYBRID if args.mode == "hybrid" else RenderMode.PATH_TRACING,
         traversal=TraversalMode.BRUTE_FORCE if args.brute else TraversalMode.BVH_PALLAS,
+        alpha_visibility=_scene_needs_alpha(scene),
     )
     if camera_cfg is not None:
         cfg = cfg.replace(camera=camera_cfg)

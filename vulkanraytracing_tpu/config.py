@@ -102,7 +102,13 @@ class Config:
 
     # --- execution shape ---
     ray_chunk_size: int = 1 << 16   # rays per traversal chunk (bounds VMEM/steps)
-    bvh_leaf_size: int = 4          # triangles per LBVH leaf
+    bvh_leaf_size: int = 8          # triangles per BVH leaf (= accel.lbvh.LEAF_SIZE)
+    # Alpha-tested (cutout) visibility needs up to 4 re-traversals per trace
+    # (ops.trace MAX_ALPHA_ITERS, the reference's unbounded any-hit loop,
+    # AnyHit.rahit).  Scene loaders clear this when no triangle carries the
+    # alpha-test flag so fully-opaque textured scenes skip that cost; it is
+    # static (part of the jit key), not data-dependent.
+    alpha_visibility: bool = True
 
     @property
     def resolution(self) -> tuple[int, int]:

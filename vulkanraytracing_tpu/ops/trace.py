@@ -169,7 +169,7 @@ def trace_closest(
         hit = intersect.intersect_closest_brute(
             scene.geometry, o, d, t_min, t_max, cull_backface=cull_backface
         )
-        if scene.textures is not None:
+        if scene.textures is not None and cfg.alpha_visibility:
             def retrace(lo_t, hi_t):
                 return intersect.intersect_closest_brute(
                     scene.geometry, o, d, lo_t, hi_t,
@@ -195,7 +195,7 @@ def trace_closest(
         o, d, t_min, t_max = reorder_mod.unapply_order(
             order, o, d, t_min, t_max
         )
-    if scene.textures is not None:
+    if scene.textures is not None and cfg.alpha_visibility:
         def retrace(lo_t, hi_t):
             return backend(
                 scene.geometry, scene.bvh, o, d, lo_t, hi_t,
@@ -216,7 +216,7 @@ def trace_any(
     reorder: bool = False,
 ) -> Array:
     """Alpha-aware visibility query (TraceVisibilityRay, RayGen.rgen:133-184)."""
-    if scene.textures is not None:
+    if scene.textures is not None and cfg.alpha_visibility:
         # textured cutouts need per-hit alpha tests: reuse the closest-hit
         # alpha loop (an occluder exists iff a committed hit survives it)
         hit = trace_closest(
