@@ -96,8 +96,7 @@ def _quantize_rgb8(x: Array) -> Array:
 from vulkanraytracing_tpu.core.jit_utils import hot_jit
 
 
-@hot_jit(static_argnames=("cfg",))
-def render_frame(
+def render_frame_impl(
     scene: Scene,
     cfg: Config,
     camera: CameraPT,
@@ -106,7 +105,11 @@ def render_frame(
     """Trace one progressive sample per pixel and fold it into the
     accumulator.  Returns the new state (whose ``accumulation`` is the
     display image — the reference writes the same value to both the
-    accumulation image and the swapchain, RayGen.rgen:321-322)."""
+    accumulation image and the swapchain, RayGen.rgen:321-322).
+
+    This is the UNJITTED implementation: call it when composing inside
+    your own ``jax.jit`` (``render_frame`` carries per-compile TPU options,
+    which jax forbids on nested jits)."""
     h, w = cfg.height, cfg.width
     px, py, valid, ty, tx = tile_pixel_coords(w, h)
     total = px.shape[0]
@@ -146,6 +149,9 @@ def render_frame(
         accumulation=result, accum_index=state.accum_index + jnp.uint32(1)
     )
     return new_state, TraceStats(rays=jnp.sum(rays))
+
+
+render_frame = hot_jit(render_frame_impl, static_argnames=("cfg",))
 
 
 def render_progressive(
