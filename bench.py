@@ -55,15 +55,15 @@ def main() -> None:
     # stable capability measure.  float(stats.rays) forces per-frame
     # completion (block_until_ready does not actually block on the tunneled
     # TPU relay).
-    best_s_per_ray = float("inf")
+    per_frame = []
     for _ in range(frames):
         t0 = time.perf_counter()
         state, stats = render_frame(scene, cfg, camera, state)
         rays = float(stats.rays)
         dt = time.perf_counter() - t0
-        best_s_per_ray = min(best_s_per_ray, dt / max(rays, 1.0))
+        per_frame.append(rays / dt / 1e6)
 
-    mrays = 1.0 / best_s_per_ray / 1e6
+    mrays = max(per_frame)  # best = stable capability on the shared chip
     print(
         json.dumps(
             {
@@ -71,6 +71,10 @@ def main() -> None:
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 4),
+                # sustained stats so best-of-N is interpretable
+                "mean": round(float(np.mean(per_frame)), 3),
+                "median": round(float(np.median(per_frame)), 3),
+                "frames": frames,
             }
         )
     )

@@ -91,6 +91,43 @@ def _collapse_native(nodes: np.ndarray, child: np.ndarray):
     return nodes8[:m].copy(), child8[:m].copy()
 
 
+def _worst_case_stack(child8: np.ndarray) -> int:
+    """Worst-case traversal stack need for this BVH8.
+
+    An interior visit at depth d can leave up to 7 sibling entries per
+    ancestor level on the stack, plus one leaf row-continuation — so the
+    bound is 7*(max_depth+1) + 1.  Both collapse paths emit nodes in BFS
+    order (parent id < child id), so one forward pass computes depth.
+    Entries == 0 are empty slots (the root is never a child); entries < 0
+    are leaf codes."""
+    m = child8.shape[0]
+    depth = np.zeros(m, np.int32)
+    for i in range(m):
+        for c in child8[i]:
+            if c > 0:
+                depth[c] = depth[i] + 1
+    return int(7 * (depth.max() + 1) + 1) if m else 1
+
+
+def _attach(bvh: BVH, nodes8: np.ndarray, child8: np.ndarray) -> BVH:
+    from vulkanraytracing_tpu.ops.traverse_wide8 import STACK_DEPTH
+
+    need = _worst_case_stack(child8)
+    if need > STACK_DEPTH:
+        # The wide8 kernel's push guard silently DROPS overflowing entries
+        # (missed intersections).  Refuse the collapse; trace dispatch then
+        # falls back to the 2-wide kernel, whose bound (2/level) fits.
+        log_d(
+            f"bvh8 collapse rejected: worst-case stack {need} > "
+            f"{STACK_DEPTH}; falling back to the 2-wide kernel"
+        )
+        return bvh
+
+    import jax.numpy as jnp
+
+    return bvh._replace(nodes8=jnp.asarray(nodes8), child8=jnp.asarray(child8))
+
+
 def collapse_bvh8(bvh: BVH, force_python: bool = False) -> BVH:
     """Attach (nodes8, child8) to a host-concrete BVH; no-op under trace."""
     try:
@@ -102,12 +139,7 @@ def collapse_bvh8(bvh: BVH, force_python: bool = False) -> BVH:
     if not force_python:
         native = _collapse_native(nodes, child)
         if native is not None:
-            import jax.numpy as jnp
-
-            nodes8, child8 = native
-            return bvh._replace(
-                nodes8=jnp.asarray(nodes8), child8=jnp.asarray(child8)
-            )
+            return _attach(bvh, *native)
 
     n = nodes.shape[0]
     # surface area of each child slot of every BVH2 node
@@ -168,8 +200,4 @@ def collapse_bvh8(bvh: BVH, force_python: bool = False) -> BVH:
         for k in range(len(slots), 8):
             nodes8[i, k * 6 : k * 6 + 6] = _BIG
 
-    import jax.numpy as jnp
-
-    return bvh._replace(
-        nodes8=jnp.asarray(nodes8), child8=jnp.asarray(child8)
-    )
+    return _attach(bvh, nodes8, child8)

@@ -120,17 +120,19 @@ class TerminalViewer:
             if k in _KEYMAP:
                 eng.inject_key(_KEYMAP[k], KeyAction.PRESS)
                 if _KEYMAP[k] not in (Key.T, Key.R):
-                    # terminals deliver no key-up: treat as a tap
-                    self._tap = _KEYMAP[k]
+                    # terminals deliver no key-up: treat as a tap; track
+                    # ALL taps from this poll so none is left held
+                    self._taps = getattr(self, "_taps", [])
+                    self._taps.append(_KEYMAP[k])
             elif k in _LOOKMAP:
                 dx, dy = _LOOKMAP[k]
                 x, y = getattr(self, "_mouse", (0.0, 0.0))
                 self._mouse = (x + dx, y + dy)
                 eng.inject_mouse_move(*self._mouse)
         eng.draw()
-        if getattr(self, "_tap", None) is not None:
-            eng.inject_key(self._tap, KeyAction.RELEASE)
-            self._tap = None
+        for tap in getattr(self, "_taps", []):
+            eng.inject_key(tap, KeyAction.RELEASE)
+        self._taps = []
         img = eng.display_image()
         hud = " | ".join(eng.hud_lines())
         body = _ansi_image(np.asarray(img), self.cols, self.rows)

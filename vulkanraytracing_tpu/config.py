@@ -102,7 +102,9 @@ class Config:
 
     # --- execution shape ---
     ray_chunk_size: int = 1 << 16   # rays per traversal chunk (bounds VMEM/steps)
-    bvh_leaf_size: int = 8          # triangles per BVH leaf (= accel.lbvh.LEAF_SIZE)
+    # (triangles-per-leaf is NOT a config knob: the wide kernels' leaf path
+    # handles at most one row continuation, so the bound is structural —
+    # accel.lbvh.LEAF_SIZE; builders take an explicit leaf_size argument.)
     # Alpha-tested (cutout) visibility needs up to 4 re-traversals per trace
     # (ops.trace MAX_ALPHA_ITERS, the reference's unbounded any-hit loop,
     # AnyHit.rahit).  Scene loaders clear this when no triangle carries the

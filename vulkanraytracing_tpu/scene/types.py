@@ -151,7 +151,9 @@ class BVH(NamedTuple):
     tri_order: jnp.ndarray    # (T,) i32 — sorted-order -> original tri ids
     # optional 8-wide collapse (accel.bvh8, host-built after the device
     # build; None when the BVH was built inside a trace).  Same leaf codes;
-    # empty slots carry inverted AABBs so they never hit.
+    # empty slots carry degenerate far boxes (lo = hi = +3e38) so they
+    # never hit — NOT inverted boxes, which the kernel's min/max slab test
+    # would accept for every ray (see accel/bvh8.py module docstring).
     nodes8: Optional[jnp.ndarray] = None  # (M, 48) f32 — 8x (lo3, hi3)
     child8: Optional[jnp.ndarray] = None  # (M, 8) i32
 
