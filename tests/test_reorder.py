@@ -1,0 +1,122 @@
+"""ops.reorder: gather-free segment-local wavefront reordering.
+
+The permutation machinery must be BIT-EXACT (RNG seeds and pixel indices
+ride it), stable, and agree with a plain numpy per-segment argsort.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vulkanraytracing_tpu.ops import reorder
+
+
+def _np_segment_order(keys, seg):
+    """Reference: stable argsort within each segment."""
+    order = np.empty_like(keys, dtype=np.int64)
+    for s in range(0, keys.shape[0], seg):
+        order[s : s + seg] = s + np.argsort(keys[s : s + seg], kind="stable")
+    return order
+
+
+def test_seg_ranks_match_stable_argsort():
+    rng = np.random.default_rng(0)
+    seg, n = 256, 1024
+    keys = rng.integers(0, 1 << 10, size=n, dtype=np.uint32)  # ties likely
+    ranks = np.asarray(reorder.seg_ranks(jnp.asarray(keys), seg))
+    order = _np_segment_order(keys, seg)
+    # element at original position order[p] lands at slot p
+    for s in range(0, n, seg):
+        np.testing.assert_array_equal(
+            ranks[order[s : s + seg]] + s, np.arange(s, s + seg)
+        )
+
+
+def test_apply_order_matches_gather_all_dtypes():
+    rng = np.random.default_rng(1)
+    seg, n = 512, 2048
+    keys = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    order_np = _np_segment_order(keys, seg)
+    order = reorder.SegOrder(
+        ranks=reorder.seg_ranks(jnp.asarray(keys), seg), seg=seg
+    )
+
+    f1 = rng.random(n).astype(np.float32) * 1e6 - 5e5
+    f3 = rng.random((n, 3)).astype(np.float32)
+    u32 = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)  # full range
+    i32 = rng.integers(0, 1 << 21, size=n, dtype=np.int32)
+    bl = rng.random(n) < 0.5
+
+    of1, of3, ou, oi, ob = reorder.apply_order(
+        order, jnp.asarray(f1), jnp.asarray(f3), jnp.asarray(u32),
+        jnp.asarray(i32), jnp.asarray(bl),
+    )
+    np.testing.assert_array_equal(np.asarray(of1), f1[order_np])
+    np.testing.assert_array_equal(np.asarray(of3), f3[order_np])
+    np.testing.assert_array_equal(np.asarray(ou), u32[order_np])
+    np.testing.assert_array_equal(np.asarray(oi), i32[order_np])
+    np.testing.assert_array_equal(np.asarray(ob), bl[order_np])
+    assert ou.dtype == jnp.uint32 and oi.dtype == jnp.int32
+    assert ob.dtype == jnp.bool_
+
+
+def test_unapply_roundtrip():
+    rng = np.random.default_rng(2)
+    seg, n = 256, 1536
+    keys = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    order = reorder.SegOrder(
+        ranks=reorder.seg_ranks(jnp.asarray(keys), seg), seg=seg
+    )
+    x = rng.random((n, 3)).astype(np.float32)
+    u = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    xs, us = reorder.apply_order(order, jnp.asarray(x), jnp.asarray(u))
+    xb, ub = reorder.unapply_order(order, xs, us)
+    np.testing.assert_array_equal(np.asarray(xb), x)
+    np.testing.assert_array_equal(np.asarray(ub), u)
+
+
+def test_make_order_compacts_dead_and_groups_octants():
+    rng = np.random.default_rng(3)
+    n = 4096
+    o = rng.random((n, 3)).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    t_min = np.full(n, 1e-3, np.float32)
+    t_max = np.where(rng.random(n) < 0.3, 0.0, 1e3).astype(np.float32)
+    lo = jnp.zeros(3)
+    hi = jnp.ones(3)
+    order = reorder.make_order(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), lo, hi,
+    )
+    (tmax_s,), (d_s,) = (
+        reorder.apply_order(order, jnp.asarray(t_max)),
+        reorder.apply_order(order, jnp.asarray(d)),
+    )
+    tmax_s = np.asarray(tmax_s)
+    d_s = np.asarray(d_s)
+    seg = order.seg
+    for s in range(0, n, seg):
+        seg_tmax = tmax_s[s : s + seg]
+        dead = seg_tmax == 0.0
+        # dead rays are a contiguous tail of the segment
+        if dead.any():
+            first = int(np.argmax(dead))
+            assert dead[first:].all()
+        # alive rays are octant-sorted
+        dd = d_s[s : s + seg][~dead]
+        oct_ = ((dd[:, 0] < 0) << 2) | ((dd[:, 1] < 0) << 1) | (dd[:, 2] < 0)
+        assert (np.diff(oct_) >= 0).all()
+
+
+def test_make_order_odd_sizes():
+    # n not divisible by SEG: falls back to a divisor
+    n = 768  # 3 * 256
+    rng = np.random.default_rng(4)
+    o = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    t = jnp.full((n,), 1e-3)
+    tm = jnp.full((n,), 1e3)
+    order = reorder.make_order(o, d, t, tm, jnp.zeros(3), jnp.ones(3))
+    assert n % order.seg == 0
+    (o2,) = reorder.apply_order(order, o)
+    (o3,) = reorder.unapply_order(order, o2)
+    np.testing.assert_array_equal(np.asarray(o3), np.asarray(o))

@@ -1,24 +1,40 @@
-"""Ray reordering — wavefront coherence + dead-lane compaction.
+"""Ray reordering — wavefront coherence + dead-lane compaction, gather-free.
 
 Secondary (bounce) rays from a pixel tile scatter over the hemisphere, so a
-pixel-coherent packet would traverse the union of 256 unrelated paths.
+pixel-coherent packet would traverse the union of 128 unrelated paths.
 Sorting the wavefront by (alive, direction octant, origin Morton code)
 before tracing re-forms packets of rays that walk the same part of the BVH
 — the classic wavefront ray-reordering transform (see PAPERS.md: "On Ray
 Reordering Techniques for Faster GPU Ray Tracing"), which on TPU doubles as
-*compaction*: dead rays (empty t-window) sort to the tail, so their packets
-exit the traversal loop immediately and later bounces cost proportional to
-the rays still alive — the XLA-native answer to the reference's per-thread
-early exit (RayGen.rgen:383-401 breaks).
+*compaction*: dead rays sort to the segment tail, so their 128-lane rows
+exit the traversal loop immediately.
 
-Cost: one 32-bit sort + two gathers per trace — microseconds against the
-traversal it saves.
+TPU formulation (the round-2 redesign): a GLOBAL argsort + per-array gather
+costs ~330 ms per bounce at 2M rays — not because of the sort (43 ms) but
+because XLA:TPU elementwise gather runs at ~16 ms per (R,) column.  Since
+the traversal kernel only needs coherence WITHIN each 128-lane row, a
+segment-local sort is just as good, and within fixed segments both the sort
+and the permutation-apply become dense ops:
+
+- ``seg_ranks``: all-pairs key comparison per segment (VPU, no sort
+  primitive) gives each ray its destination slot — O(SEG) per ray of pure
+  vector compare+sum, ~35 ms at 2M rays;
+- ``apply``: one-hot(rank) @ payload batched matmul (MXU, HIGHEST
+  precision) moves ALL state columns at once, ~40 ms for 20 columns —
+  8x cheaper than the gather path, and exact (verified bit-exact for f32
+  and for uint32 split into 16-bit halves; see tests/test_reorder.py).
+
+Segments are SEG consecutive rays = SEG/128 adjacent traversal rows; with
+SEG=2048 a diffuse bounce yields ~2 rows per direction octant, and origins
+within a segment come from the same few pixel tiles, so within-row
+coherence matches the global sort's.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -26,10 +42,19 @@ from vulkanraytracing_tpu.accel.lbvh import morton_codes
 
 _U32 = jnp.uint32
 
+SEG = 2048          # rays per sort segment (= 16 traversal rows)
+_APPLY_CHUNK = 64   # max segments per one-hot matmul block
 
-class RayOrder(NamedTuple):
-    perm: Array      # (R,) i32 — sorted position -> original index
-    inv_perm: Array  # (R,) i32 — original index -> sorted position
+
+class SegOrder(NamedTuple):
+    """Within-segment destination slots for a wavefront of R rays."""
+
+    ranks: Array  # (R,) i32 — destination slot of ray i inside its segment
+    seg: int
+
+    @property
+    def n(self) -> int:
+        return self.ranks.shape[0]
 
 
 def ray_sort_keys(
@@ -46,26 +71,140 @@ def ray_sort_keys(
     return (dead << _U32(31)) | (octant << _U32(28)) | morton
 
 
+def _chunk_of(s: int) -> int:
+    """Largest divisor of s not exceeding _APPLY_CHUNK."""
+    best = 1
+    for c in range(2, min(s, _APPLY_CHUNK) + 1):
+        if s % c == 0:
+            best = c
+    return best
+
+
+def seg_ranks(keys: Array, seg: int = SEG) -> Array:
+    """Destination slot of each element under a stable ascending sort of its
+    seg-sized segment: rank[i] = #{j in segment : key_j < key_i or
+    (key_j == key_i and j < i)}.  All-pairs compare — dense VPU work, no
+    sort primitive, no gather."""
+    n = keys.shape[0]
+    assert n % seg == 0, (n, seg)
+    k = keys.reshape(-1, seg)
+    idx = jnp.arange(seg, dtype=jnp.int32)
+    tie = idx[None, :] < idx[:, None]  # (seg, seg): j strictly before i
+
+    def body(krow: Array) -> Array:
+        a, b = krow[:, None], krow[None, :]
+        less = (b < a) | ((b == a) & tie)
+        return jnp.sum(less.astype(jnp.int32), axis=1)
+
+    return jax.vmap(body)(k).reshape(-1)
+
+
 def make_order(
-    o: Array, d: Array, t_min: Array, t_max: Array, root_lo: Array, root_hi: Array
-) -> RayOrder:
+    o: Array,
+    d: Array,
+    t_min: Array,
+    t_max: Array,
+    root_lo: Array,
+    root_hi: Array,
+    seg: int = SEG,
+) -> SegOrder:
+    n = o.shape[0]
+    seg = min(seg, n)
+    while n % seg:
+        seg //= 2
     keys = ray_sort_keys(o, d, t_min, t_max, root_lo, root_hi)
-    perm = jnp.argsort(keys).astype(jnp.int32)
-    # invert with an O(n) scatter, not a second O(n log^2 n) sort
-    n = perm.shape[0]
-    inv_perm = (
-        jnp.zeros((n,), jnp.int32)
-        .at[perm]
-        .set(jnp.arange(n, dtype=jnp.int32))
+    return SegOrder(ranks=seg_ranks(keys, seg), seg=seg)
+
+
+def _apply_columns(
+    order: SegOrder, cols: list[Array], transpose: bool = False
+) -> list[Array]:
+    """Permute f32 columns into segment-sorted positions with batched
+    one-hot matmuls: out[s, p, c] = cols[c][s, i] where ranks[s, i] == p.
+    ``transpose=True`` applies the inverse permutation (contract the other
+    one-hot axis).  HIGHEST precision keeps f32 payloads bit-exact (one
+    nonzero term per output; validated in tests/test_reorder.py)."""
+    n, seg = order.n, order.seg
+    s = n // seg
+    c = len(cols)
+    r3 = order.ranks.reshape(s, seg)
+    p3 = jnp.stack([x.reshape(s, seg) for x in cols], axis=-1)  # (s, seg, c)
+    idx = jnp.arange(seg, dtype=jnp.int32)
+
+    def block(args):
+        rc, pc = args  # (B, seg), (B, seg, c)
+        if transpose:
+            onehot = (rc[:, :, None] == idx[None, None, :]).astype(jnp.float32)
+        else:
+            onehot = (rc[:, None, :] == idx[None, :, None]).astype(jnp.float32)
+        return jax.lax.dot_general(
+            onehot, pc, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    chunk = _chunk_of(s)
+    nb = s // chunk
+    out = jax.lax.map(
+        block, (r3.reshape(nb, chunk, seg), p3.reshape(nb, chunk, seg, c))
     )
-    return RayOrder(perm=perm, inv_perm=inv_perm)
+    out = out.reshape(n, c)
+    return [out[:, i] for i in range(c)]
 
 
-def apply_order(order: RayOrder, *arrays: Array) -> tuple[Array, ...]:
-    """Gather arrays into sorted order."""
-    return tuple(a[order.perm] for a in arrays)
+def _permute(order: SegOrder, arrays, transpose: bool) -> tuple[Array, ...]:
+    cols: list[Array] = []
+    specs: list[tuple] = []  # (kind, dtype, ncomp)
+    for a in arrays:
+        if a.ndim == 2 or a.dtype not in (jnp.bool_, jnp.uint32, jnp.int32):
+            # one-hot matmul hazard: 0 * inf = NaN would poison a whole
+            # segment column, so non-finite payload entries (dead lanes'
+            # p = o + d*BIG_T overflows) are zeroed — a dead lane's state
+            # is never read, and a live lane's state is finite by
+            # construction (tone map, pdf guards)
+            k = a.shape[1] if a.ndim == 2 else 1
+            comps = (a[:, j] for j in range(k)) if a.ndim == 2 else (a,)
+            for x in comps:
+                x = x.astype(jnp.float32)
+                cols.append(jnp.where(jnp.isfinite(x), x, 0.0))
+            specs.append(("f", a.dtype, k))
+        elif a.dtype == jnp.bool_:
+            cols.append(a.astype(jnp.float32))
+            specs.append(("b", a.dtype, 1))
+        else:  # uint32 / int32: exact transport via 16-bit halves
+            u = a.astype(_U32)
+            cols.append((u >> _U32(16)).astype(jnp.float32))
+            cols.append((u & _U32(0xFFFF)).astype(jnp.float32))
+            specs.append(("i", a.dtype, 2))
+
+    out = _apply_columns(order, cols, transpose=transpose)
+
+    res: list[Array] = []
+    pos = 0
+    for kind, dtype, k in specs:
+        if kind == "f" and k > 1:
+            res.append(jnp.stack(out[pos : pos + k], axis=-1).astype(dtype))
+        elif kind == "f":
+            res.append(out[pos].astype(dtype))
+        elif kind == "b":
+            res.append(out[pos] != 0.0)
+        else:  # 32-bit int from 16-bit halves
+            hi = out[pos].astype(_U32)
+            lo = out[pos + 1].astype(_U32)
+            res.append(((hi << _U32(16)) | lo).astype(dtype))
+        pos += k
+    return tuple(res)
 
 
-def unapply_order(order: RayOrder, *arrays: Array) -> tuple[Array, ...]:
-    """Gather results back to the original ray order."""
-    return tuple(a[order.inv_perm] for a in arrays)
+def apply_order(order: SegOrder, *arrays: Array) -> tuple[Array, ...]:
+    """Permute arrays into segment-sorted order.
+
+    Accepts (R,) or (R, k) arrays of f32, bool, or 32-bit int dtype.  Int
+    columns ride the matmul as two exactly-representable f32 columns
+    (16-bit halves), so RNG seeds and pixel indices transport bit-exactly."""
+    return _permute(order, arrays, transpose=False)
+
+
+def unapply_order(order: SegOrder, *arrays: Array) -> tuple[Array, ...]:
+    """Permute segment-sorted arrays back to original order (the transposed
+    one-hot contraction — no inverse permutation is materialized)."""
+    return _permute(order, arrays, transpose=True)

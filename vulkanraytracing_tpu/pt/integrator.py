@@ -182,8 +182,11 @@ def pathtrace(
     ray_pdf = jnp.ones((R,), f32)
     alive = valid
     # sorted-position -> original pixel index, composed across per-bounce
-    # wavefront reorders; the final scatter restores pixel order
+    # wavefront reorders; segment-local by construction (every reorder is
+    # block-diagonal on the same segment boundaries), so the final restore
+    # is one more one-hot matmul
     pixel_perm = jnp.arange(R, dtype=jnp.int32)
+    reordered = False
 
     if scene.has_point_lights:
         pl_t, pl_color = intersect_point_light_spheres(
@@ -307,23 +310,23 @@ def pathtrace(
             # dead rays get a zero-length window so traversal exits immediately
             t_max = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
 
-            # ONE wavefront sort per bounce: permute the ENTIRE live state
-            # into (alive, octant, origin-morton) order and stay there —
-            # the shadow/NEE traces of the next bounce ride the same order,
-            # and a single scatter at the end restores pixel order.  (The
-            # previous design re-sorted inside every trace call: 3 sorts +
-            # 6 permutation gathers per bounce; an argsort of a 2M-ray
-            # wavefront costs as much as the traversal it feeds.)
+            # ONE wavefront reorder per bounce: permute the ENTIRE live
+            # state into segment-local (alive, octant, origin-morton) order
+            # and stay there — the shadow/NEE traces of the next bounce
+            # ride the same order, and a final one-hot matmul restores
+            # pixel order.  The reorder itself is gather-free (all-pairs
+            # ranks + one-hot MXU matmul over all 25 state columns at
+            # once, ~45 ms vs ~330 ms for argsort+gathers; ops.reorder).
             if scene.bvh is not None and cfg.traversal != TraversalMode.BRUTE_FORCE:
                 lo, hi = trace._root_bounds(scene.bvh)
                 order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
                 (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
-                 s0, s1) = reorder_mod.apply_order(
+                 s0, s1, alive, valid, pixel_perm) = reorder_mod.apply_order(
                     order, o, d, t_min, t_max, irradiance, throughput,
-                    ray_pdf, s0, s1,
+                    ray_pdf, s0, s1, alive, valid, pixel_perm,
                 )
-                (alive, valid) = reorder_mod.apply_order(order, alive, valid)
-                pixel_perm = pixel_perm[order.perm]
+                reordered = True
+                seg_used = order.seg
 
             hit = trace.trace_closest(
                 scene, cfg, o, d, t_min, t_max, cull_backface=True,
@@ -334,6 +337,12 @@ def pathtrace(
         color = math3d.tone_mapping(irradiance)  # :412 — tone-map THEN accumulate
     else:
         color = irradiance  # linear-HDR mode: display applies the curve
-    # restore pixel order with one scatter (identity when nothing reordered)
-    color = jnp.zeros_like(color).at[pixel_perm].set(color)
+    if reordered:
+        # restore pixel order: the composed per-bounce permutation is
+        # segment-local, so pixel_perm's low bits ARE within-segment
+        # destination slots — one more one-hot matmul, no scatter
+        n = pixel_perm.shape[0]
+        base = (jnp.arange(n, dtype=jnp.int32) // seg_used) * seg_used
+        restore = reorder_mod.SegOrder(ranks=pixel_perm - base, seg=seg_used)
+        (color,) = reorder_mod.apply_order(restore, color)
     return color, TraceStats(rays=rays_cast)
