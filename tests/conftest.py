@@ -17,3 +17,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+# NOTE: do NOT add a jax.clear_caches() fixture here.  It makes the jax 0.9
+# executable-resolution bug ("Execution supplied N buffers but compiled
+# program expected M") MORE likely, not less — clearing drops weak refs and
+# recycled treedef ids then collide in the global executable store.  The
+# mitigation lives at the call sites (per-structure jit instances that keep
+# strong treedef references, e.g. hybrid.render_hybrid).

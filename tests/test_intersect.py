@@ -130,3 +130,19 @@ def test_many_triangles_tiled_scan():
     np.testing.assert_array_equal(
         np.asarray(h1.tri)[hits], np.asarray(h2.tri)[hits]
     )
+
+
+def test_packed_attribute_fetch_is_exact():
+    # the packed-table row-gather must transport attributes bit-exactly
+    rng = np.random.default_rng(7)
+    geom = _geom()
+    o, d, tmin, tmax = _rays([0, 0.2, 5], [0, 0, -1])
+    hit = intersect.intersect_closest_brute(geom, o, d, tmin, tmax)
+    attrs = intersect.fetch_surface_attributes(geom, hit)
+    bary = np.array([1.0 - float(hit.u[0]) - float(hit.v[0]),
+                     float(hit.u[0]), float(hit.v[0])])
+    n_ref = (np.asarray(geom.n0[0]) * bary[0] + np.asarray(geom.n1[0]) * bary[1]
+             + np.asarray(geom.n2[0]) * bary[2])
+    n_ref /= np.linalg.norm(n_ref)
+    np.testing.assert_allclose(np.asarray(attrs.normal[0]), n_ref, atol=1e-6)
+    assert int(attrs.material_id[0]) == int(geom.material_id[0])

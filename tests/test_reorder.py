@@ -74,9 +74,9 @@ def test_unapply_roundtrip():
     np.testing.assert_array_equal(np.asarray(ub), u)
 
 
-def test_make_order_compacts_dead_and_groups_octants():
+def test_make_order_compacts_dead_and_orders_rows():
     rng = np.random.default_rng(3)
-    n = 4096
+    n = 8192  # > SEG so the row-global pass is active
     o = rng.random((n, 3)).astype(np.float32)
     d = rng.standard_normal((n, 3)).astype(np.float32)
     t_min = np.full(n, 1e-3, np.float32)
@@ -87,24 +87,29 @@ def test_make_order_compacts_dead_and_groups_octants():
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
         jnp.asarray(t_max), lo, hi,
     )
-    (tmax_s,), (d_s,) = (
-        reorder.apply_order(order, jnp.asarray(t_max)),
-        reorder.apply_order(order, jnp.asarray(d)),
+    assert order.row_perm is not None
+    keys = np.asarray(
+        reorder.ray_sort_keys(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+            jnp.asarray(t_max), lo, hi,
+        )
     )
-    tmax_s = np.asarray(tmax_s)
-    d_s = np.asarray(d_s)
-    seg = order.seg
-    for s in range(0, n, seg):
-        seg_tmax = tmax_s[s : s + seg]
-        dead = seg_tmax == 0.0
-        # dead rays are a contiguous tail of the segment
-        if dead.any():
-            first = int(np.argmax(dead))
-            assert dead[first:].all()
-        # alive rays are octant-sorted
-        dd = d_s[s : s + seg][~dead]
-        oct_ = ((dd[:, 0] < 0) << 2) | ((dd[:, 1] < 0) << 1) | (dd[:, 2] < 0)
-        assert (np.diff(oct_) >= 0).all()
+    (keys_s,) = reorder.apply_order(order, jnp.asarray(keys))
+    (tmax_s,) = reorder.apply_order(order, jnp.asarray(t_max))
+    keys_s = np.asarray(keys_s).reshape(-1, 128)
+    tmax_s = np.asarray(tmax_s).reshape(-1, 128)
+    # rows are sub-blocks of sorted segments: keys ascend within every row
+    assert (np.diff(keys_s.astype(np.int64), axis=1) >= 0).all()
+    # the row-global pass orders rows by their first (smallest) key
+    row_key = keys_s[:, 0].astype(np.int64)
+    assert (np.diff(row_key) >= 0).all()
+    # fully-dead rows (dead bit = MSB) form a contiguous global tail
+    dead_row = (tmax_s == 0.0).all(axis=1)
+    if dead_row.any():
+        first = int(np.argmax(dead_row))
+        assert dead_row[first:].all()
+        # ...and there are dead rows to compact in this fixture
+        assert dead_row.sum() >= 1
 
 
 def test_make_order_odd_sizes():

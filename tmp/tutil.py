@@ -15,7 +15,7 @@ def _scalarize(out):
     leaves = jax.tree.leaves(out)
     acc = jnp.float32(0.0)
     for leaf in leaves:
-        x = leaf
+        x = jnp.asarray(leaf)
         if x.dtype == jnp.bool_:
             x = x.astype(jnp.float32)
         elif x.dtype in (jnp.uint32, jnp.int32):

@@ -24,10 +24,21 @@ def tpu_compiler_options() -> dict | None:
 
 
 def hot_jit(fn=None, /, **jit_kwargs):
-    """jax.jit with the raised TPU scoped-VMEM limit (no-op elsewhere)."""
+    """jax.jit with the raised TPU scoped-VMEM limit (no-op elsewhere).
+
+    Off-TPU this must reduce to a PLAIN jax.jit: passing compiler_options
+    (even None) routes dispatch through jax 0.9's explicit-attributes C++
+    function cache, which exhibits the executable-resolution bug
+    ("Execution supplied N buffers but compiled program expected M") once
+    several signatures coexist in one process — see tmp/repro_bufbug.py."""
+    opts = tpu_compiler_options()
 
     def wrap(f):
-        return jax.jit(f, compiler_options=tpu_compiler_options(), **jit_kwargs)
+        if opts is None and not jit_kwargs:
+            return jax.jit(f)
+        if opts is None:
+            return jax.jit(f, **jit_kwargs)
+        return jax.jit(f, compiler_options=opts, **jit_kwargs)
 
     if fn is None:
         return wrap

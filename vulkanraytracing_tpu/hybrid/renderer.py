@@ -61,9 +61,48 @@ def _direct_term(surface, n, v, l, nov, f0, metallic, albedo):
 
 from vulkanraytracing_tpu.core.jit_utils import hot_jit
 
+# AOT-compiled executable per exact (scene signature, config).  jax 0.9's
+# global pjit dispatch fastpath can mis-resolve executables when scenes of
+# different pytree structure alternate through one jit in a long-lived
+# process ("Execution supplied 40 buffers but compiled program expected 64"
+# — reproduced in tmp/repro_bufbug.py: lights scene -> lightless scene ->
+# lights scene again fails on the third call).  lower().compile() objects
+# bypass that cache entirely; we key them by full avals ourselves.
+_render_hybrid_jits: dict = {}
 
-@hot_jit(static_argnames=("cfg",))
+
 def render_hybrid(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
+    leaves, treedef = jax.tree.flatten((scene, camera))
+    if any(isinstance(x, jax.core.Tracer) for x in leaves):
+        return _render_hybrid_impl(scene, cfg, camera)  # under an outer jit
+    # ONE jit instance per exact call signature (treedef + every leaf's
+    # shape/dtype + config), each holding exactly one compiled executable.
+    # With multiple signatures under a single jit, jax 0.9's C++ dispatch
+    # fastpath can resolve a call to the WRONG signature's executable once
+    # enough other compilations happen in the process ("Execution supplied
+    # 40 buffers but compiled program expected 64"); deterministic repro in
+    # tmp/repro_bufbug.py (cornell -> single-triangle -> cornell renders —
+    # the scenes share a treedef but differ in shapes).
+    key = (treedef, tuple((x.shape, str(x.dtype)) for x in leaves), cfg)
+
+    def _fresh():
+        def _impl(scene, camera, cfg=cfg):
+            return _render_hybrid_impl(scene, cfg, camera)
+
+        fn = hot_jit(_impl)
+        _render_hybrid_jits[key] = fn
+        return fn
+
+    fn = _render_hybrid_jits.get(key) or _fresh()
+    try:
+        return fn(scene, camera)
+    except ValueError as e:  # self-heal the jax 0.9 mis-dispatch (above)
+        if "buffers but compiled program expected" not in str(e):
+            raise
+        return _fresh()(scene, camera)
+
+
+def _render_hybrid_impl(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
     """One hybrid-mode frame -> (H, W, 3) display image."""
     h, w = cfg.height, cfg.width
     px, py, valid, ty, tx = tile_pixel_coords(w, h)
@@ -78,7 +117,7 @@ def render_hybrid(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
     hit = trace.trace_closest(scene, cfg, o, d, t_min, t_max, cull_backface=True)
 
     attrs = fetch_surface_attributes(scene.geometry, hit)
-    unpacked = unpack_material(scene, attrs)
+    unpacked = unpack_material(scene, attrs, with_occlusion=True)
     surface = unpacked.surface
     n = unpacked.tbn[..., 2]
     albedo = surface.base_color

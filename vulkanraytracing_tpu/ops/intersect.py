@@ -210,17 +210,35 @@ def fetch_surface_attributes(geom: TraceGeometry, hit: Hit) -> SurfaceAttributes
 
     Ref: ClosestHit.rchit:48-81 — fetch per-corner normals/tangents/uvs,
     BaryLerp with (1-u-v, u, v), normalize, flip normal on back-face hits.
-    Attributes are already world-space here (flattened at scene build)."""
+    Attributes are already world-space here (flattened at scene build).
+
+    Gather economy (measured, tmp/perf_gather.py at R=2M, T=262k): an
+    XLA:TPU gather costs ~17 ms per SEPARATE (R,)-indexed column, but a
+    row-gather of a (T, C) table costs ~55 ms for ANY C up to 25+ — cost is
+    per index, columns are free.  So all 25 attribute columns ride ONE
+    packed-table row-gather (was: 25 separate gathers, ~150 ms/bounce).
+    The (T, 25) concat is triangle-count-sized, ~1% of the gather cost."""
     tri = hit.tri
     bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
 
-    n = math3d.bary_lerp(geom.n0[tri], geom.n1[tri], geom.n2[tri], bary)
-    t = math3d.bary_lerp(geom.t0[tri], geom.t1[tri], geom.t2[tri], bary)
-    uv = math3d.bary_lerp(geom.uv0[tri], geom.uv1[tri], geom.uv2[tri], bary)
+    table = jnp.concatenate(
+        [
+            geom.n0, geom.n1, geom.n2,
+            geom.t0, geom.t1, geom.t2,
+            geom.uv0, geom.uv1, geom.uv2,
+            geom.material_id[:, None].astype(jnp.float32),  # exact < 2^24
+        ],
+        axis=1,
+    )
+    rec = table[tri]  # ONE row-gather
+
+    n = math3d.bary_lerp(rec[:, 0:3], rec[:, 3:6], rec[:, 6:9], bary)
+    t = math3d.bary_lerp(rec[:, 9:12], rec[:, 12:15], rec[:, 15:18], bary)
+    uv = math3d.bary_lerp(rec[:, 18:20], rec[:, 20:22], rec[:, 22:24], bary)
 
     n = math3d.normalize(n)
     n = jnp.where(hit.backface[..., None], -n, n)
     t = math3d.normalize(t)
     return SurfaceAttributes(
-        normal=n, tangent=t, uv=uv, material_id=geom.material_id[tri]
+        normal=n, tangent=t, uv=uv, material_id=rec[:, 24].astype(jnp.int32)
     )

@@ -24,10 +24,24 @@ and the permutation-apply become dense ops:
   8x cheaper than the gather path, and exact (verified bit-exact for f32
   and for uint32 split into 16-bit halves; see tests/test_reorder.py).
 
-Segments are SEG consecutive rays = SEG/128 adjacent traversal rows; with
-SEG=2048 a diffuse bounce yields ~2 rows per direction octant, and origins
-within a segment come from the same few pixel tiles, so within-row
-coherence matches the global sort's.
+Segments are SEG consecutive rays = SEG/128 adjacent traversal rows.
+
+On top of the segment-local element sort sits a ROW-GLOBAL pass: whole
+128-ray rows are regrouped across the entire wavefront by their first
+(smallest) key — a 16k-element argsort plus ONE row gather, ~35 ms for all
+state columns at 2M rays (row gathers move full 512B+ rows and run near
+HBM bandwidth, unlike element gathers).  Counter-instrumented A/Bs on the
+262k-tri bench scene (tmp/ab_counters.py) drove both designs:
+
+- element-global sort by (octant, morton): node visits 8.26M -> 5.1M,
+  bounce traversal 812 -> 594 ms;
+- the POSITION-MAJOR + DIRECTION-BIN key below: visits -> 2.79M and
+  513 ms even at element-global scope, the best of every key tried
+  (direction-major keys lose wave occupancy, pure octant keys leave 3x
+  visits on the table);
+- segment-local sorting ALONE gains nothing (828 vs 811 ms): rows must
+  also be regrouped globally so waves fill with similar rows — hence the
+  row pass.
 """
 
 from __future__ import annotations
@@ -47,10 +61,14 @@ _APPLY_CHUNK = 64   # max segments per one-hot matmul block
 
 
 class SegOrder(NamedTuple):
-    """Within-segment destination slots for a wavefront of R rays."""
+    """Within-segment destination slots + global row regrouping for a
+    wavefront of R rays."""
 
     ranks: Array  # (R,) i32 — destination slot of ray i inside its segment
     seg: int
+    # (R/128,) i32 — new row r is old row row_perm[r] (post segment sort);
+    # None when R is not a whole number of 128-ray rows
+    row_perm: Array | None = None
 
     @property
     def n(self) -> int:
@@ -60,15 +78,32 @@ class SegOrder(NamedTuple):
 def ray_sort_keys(
     o: Array, d: Array, t_min: Array, t_max: Array, root_lo: Array, root_hi: Array
 ) -> Array:
-    """32-bit sort key: dead(1) | octant(3) | origin morton(28 of 30)."""
+    """32-bit coherence key: dead(1) | morton_hi(12) | theta(5) | phi(5) |
+    morton_mid(9).
+
+    Position-MAJOR with direction bins below it: rays sort into coarse
+    spatial cells (4096 of them), within a cell into one of 1024 direction
+    bins, with finer position bits as the tiebreak.  Direction-major keys
+    measured worse (wave occupancy collapses: a wave's rows then span the
+    whole scene); pure octant(3) direction bits leave ~3x node visits on
+    the table vs these 10 direction bits (tmp/ab_counters.py)."""
     dead = (t_min > t_max).astype(_U32)
-    octant = (
-        ((d[:, 0] < 0).astype(_U32) << _U32(2))
-        | ((d[:, 1] < 0).astype(_U32) << _U32(1))
-        | (d[:, 2] < 0).astype(_U32)
-    )
     morton = morton_codes(o, root_lo, root_hi) >> _U32(2)  # 28 bits
-    return (dead << _U32(31)) | (octant << _U32(28)) | morton
+    m_hi = morton >> _U32(16)                              # 12 bits
+    m_mid = (morton >> _U32(7)) & _U32(0x1FF)              # next 9 bits
+    # theta bin: equal-z slices; phi bin: atan2 — both 5 bits
+    tb = jnp.clip(((d[:, 2] + 1.0) * 16.0).astype(jnp.int32), 0, 31).astype(_U32)
+    phi = jnp.arctan2(d[:, 1], d[:, 0])  # [-pi, pi]
+    pb = jnp.clip(
+        ((phi * (16.0 / jnp.pi)) + 16.0).astype(jnp.int32), 0, 31
+    ).astype(_U32)
+    return (
+        (dead << _U32(31))
+        | (m_hi << _U32(19))
+        | (tb << _U32(14))
+        | (pb << _U32(9))
+        | m_mid
+    )
 
 
 def _chunk_of(s: int) -> int:
@@ -113,7 +148,19 @@ def make_order(
     while n % seg:
         seg //= 2
     keys = ray_sort_keys(o, d, t_min, t_max, root_lo, root_hi)
-    return SegOrder(ranks=seg_ranks(keys, seg), seg=seg)
+    ranks = seg_ranks(keys, seg)
+    row_perm = None
+    if n % 128 == 0 and seg % 128 == 0 and n > seg:
+        # Row-global pass: regroup whole 128-ray rows across the wavefront
+        # so traversal waves fill with rows of similar key (and all-dead
+        # rows cluster at the global tail, exiting in one trip per wave).
+        # The row key is its smallest element key = the key at the row's
+        # first post-sort slot, recovered with the same one-hot transport.
+        pre = SegOrder(ranks=ranks, seg=seg)
+        (sorted_keys,) = _permute(pre, (keys,), False)  # u32, exact
+        row_key = sorted_keys.reshape(-1, 128)[:, 0]
+        row_perm = jnp.argsort(row_key).astype(jnp.int32)
+    return SegOrder(ranks=ranks, seg=seg, row_perm=row_perm)
 
 
 def _apply_columns(
@@ -176,7 +223,23 @@ def _permute(order: SegOrder, arrays, transpose: bool) -> tuple[Array, ...]:
             cols.append((u & _U32(0xFFFF)).astype(jnp.float32))
             specs.append(("i", a.dtype, 2))
 
+    if transpose and order.row_perm is not None:
+        # undo the row regrouping first (apply composed seg-then-row, so the
+        # inverse is row-then-seg): one row-level scatter moves all columns
+        n = order.n
+        x3 = jnp.stack([c.reshape(n // 128, 128) for c in cols], axis=-1)
+        x3 = jnp.zeros_like(x3).at[order.row_perm].set(x3)
+        cols = [x3[..., i].reshape(n) for i in range(len(cols))]
+
     out = _apply_columns(order, cols, transpose=transpose)
+
+    if not transpose and order.row_perm is not None:
+        # regroup whole rows globally: ONE gather of (rows, 128*C) moves all
+        # columns near HBM bandwidth (~35 ms at 2M rays x 25 cols)
+        n = order.n
+        out3 = jnp.stack([c.reshape(n // 128, 128) for c in out], axis=-1)
+        out3 = out3[order.row_perm]
+        out = [out3[..., i].reshape(n) for i in range(len(out))]
 
     res: list[Array] = []
     pos = 0

@@ -108,19 +108,40 @@ def _hit_alpha(scene: Scene, hit: Hit):
     from vulkanraytracing_tpu.core import math3d
     from vulkanraytracing_tpu.ops.texture import TexturePool, sample_pool
 
+    from vulkanraytracing_tpu.ops.select import onehot_select
+
     geom = scene.geometry
     mats = scene.materials
     tri = hit.tri
     bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
-    uv = math3d.bary_lerp(geom.uv0[tri], geom.uv1[tri], geom.uv2[tri], bary)
-    mid = geom.material_id[tri]
-    alpha = mats.base_color_factor[mid, 3]
-    tex = mats.base_color_texture[mid]
+    # one row-gather for uvs + material id (see fetch_surface_attributes)
+    uv_table = jnp.concatenate(
+        [geom.uv0, geom.uv1, geom.uv2,
+         geom.material_id[:, None].astype(jnp.float32)],
+        axis=1,
+    )
+    uvrec = uv_table[tri]
+    uv = math3d.bary_lerp(uvrec[:, 0:2], uvrec[:, 2:4], uvrec[:, 4:6], bary)
+    mid = uvrec[:, 6].astype(jnp.int32)
+    # one fused gather-free select: [alpha factor, cutoff, bc_tex]
+    rec = onehot_select(
+        mid,
+        jnp.stack(
+            [
+                mats.base_color_factor[:, 3],
+                mats.alpha_cutoff,
+                mats.base_color_texture.astype(jnp.float32),
+            ],
+            axis=1,
+        ),
+    )
+    alpha, cutoff = rec[:, 0], rec[:, 1]
+    tex = rec[:, 2].astype(jnp.int32)
     if scene.textures is not None:
         pool = TexturePool(*scene.textures)
         sampled = sample_pool(pool, tex, uv)
         alpha = alpha * jnp.where(tex >= 0, sampled[..., 3], 1.0)
-    return alpha, mats.alpha_cutoff[mid]
+    return alpha, cutoff
 
 
 def _resolve_alpha(scene: Scene, trace_fn, hit: Hit, t_max) -> Hit:

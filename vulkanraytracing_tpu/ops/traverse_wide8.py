@@ -113,10 +113,10 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
         pox, poy, poz,
         pdx, pdy, pdz,
         ptmin, ptmax,
-        obest, otri, ohit, octr,
+        obest, otri, ohit, ou, ov, obf, octr,
         rix, riy, riz,
-        wbest,
-        nscr, wtri, whit, meta, stack,
+        wbest, wu, wv,
+        nscr, wtri, whit, wbf, meta, stack,
     ):
         colw = jax.lax.broadcasted_iota(jnp.int32, (W, LANE_COLS), 1)
         zf = jnp.zeros((W, LANE_COLS), jnp.float32)
@@ -228,6 +228,8 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
             dx, dy, dz = pdx[...], pdy[...], pdz[...]
             tri_best = wtri[...]
             hit_found = whit[...] != 0
+            if not any_hit:
+                u_best, v_best, bf_best = wu[...], wv[...], wbf[...]
 
             def coll(i):
                 return lf[:, i : i + 1]
@@ -269,10 +271,22 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
                 best = jnp.where(valid, mt, best)
                 tri_best = jnp.where(valid, tid.astype(jnp.int32), tri_best)
                 hit_found |= valid
+                if not any_hit:
+                    # commit u/v/backface with the winning hit so the host
+                    # epilogue needs no tri-table gather + re-intersection
+                    u_best = jnp.where(valid, mu, u_best)
+                    v_best = jnp.where(valid, mv, v_best)
+                    bf_best = jnp.where(
+                        valid, jnp.where(det < 0.0, 1, 0), bf_best
+                    )
 
             wbest[...] = best
             wtri[...] = tri_best
             whit[...] = hit_found.astype(jnp.int32)
+            if not any_hit:
+                wu[...] = u_best
+                wv[...] = v_best
+                wbf[...] = bf_best
 
             # --- vectorized decision: push all non-taken hit children ---
             sp = meta[:, 1:2] + zi  # lane-replicated
@@ -357,6 +371,9 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
         wbest[...] = jnp.minimum(tmaxr, big)
         wtri[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
         whit[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+        wu[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
+        wv[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
+        wbf[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
         live = jnp.sum(
             jnp.where(tminr <= tmaxr, 1, 0), axis=1, keepdims=True
         )
@@ -374,6 +391,9 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
         obest[...] = wbest[...]
         otri[...] = wtri[...]
         ohit[...] = whit[...]
+        ou[...] = wu[...]
+        ov[...] = wv[...]
+        obf[...] = wbf[...]
 
         shape = (8, LANE_COLS)
         iters = jnp.zeros(shape, jnp.int32) + trips
@@ -434,6 +454,9 @@ def _traverse_wide8_packed(
         jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.float32),
         jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32),
         jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32),
         jax.ShapeDtypeStruct((8, LANE_COLS), jnp.int32),
     ]
 
@@ -444,19 +467,20 @@ def _traverse_wide8_packed(
         _kernel(cull_backface, any_hit, nr_rows, W),
         grid=(n_waves,),
         in_specs=[tab_spec] + [wave_spec() for _ in range(8)],
-        out_specs=[wave_spec(), wave_spec(), wave_spec(), ctr_spec],
+        out_specs=[wave_spec()] * 6 + [ctr_spec],
         out_shape=out_shape,
-        scratch_shapes=[f32scr() for _ in range(4)]
-        + [i32scr() for _ in range(5)],
+        scratch_shapes=[f32scr() for _ in range(6)]
+        + [i32scr() for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )
 
-    best, tri, hit_i, iters = call(
+    best, tri, hit_i, u_k, v_k, bf_k, iters = call(
         table, ox, oy, oz, dx, dy, dz, tmin2, tmax2
     )
+    del bvh_tris  # u/v/backface committed in-kernel; no tri-table epilogue
     iters = iters[None, 0, :3]
 
     def flat(x):
@@ -464,18 +488,14 @@ def _traverse_wide8_packed(
 
     hit_found = flat(hit_i) != 0
     tri_f = flat(tri)
-
-    tiny = jnp.float32(1e-30)
-    rec = bvh_tris[jnp.where(hit_found, tri_f, 0)]
-    pvec = jnp.cross(d, rec[:, 6:9])
-    fdet = jnp.sum(rec[:, 3:6] * pvec, axis=-1)
-    finv = 1.0 / jnp.where(jnp.abs(fdet) < tiny, 1.0, fdet)
-    tvec = o - rec[:, 0:3]
-    fu = jnp.sum(tvec * pvec, axis=-1) * finv
-    fv = jnp.sum(d * jnp.cross(tvec, rec[:, 3:6]), axis=-1) * finv
-
     t = jnp.where(hit_found, flat(best), _BIG_T)
-    result = Hit(t=t, u=fu, v=fv, tri=tri_f, backface=hit_found & (fdet < 0.0))
+    result = Hit(
+        t=t,
+        u=flat(u_k),
+        v=flat(v_k),
+        tri=tri_f,
+        backface=hit_found & (flat(bf_k) != 0),
+    )
     if return_counters:
         return result, iters
     return result

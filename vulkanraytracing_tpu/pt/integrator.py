@@ -106,10 +106,18 @@ def intersect_point_light_spheres(
     t = jnp.where(t0 > t_min[:, None], t0, t1)
     valid = (disc > 0.0) & (t > t_min[:, None]) & (t < t_max[:, None])
     t = jnp.where(valid, t, jnp.float32(3.0e38))
-    best = jnp.argmin(t, axis=1)
-    r = jnp.arange(o.shape[0])
-    t_best = t[r, best]
-    color = lights.color[best, :3]
+    # no argmin+gather (a (R,)-indexed gather costs ~45 ms at 2M rays): the
+    # winner is selected with a first-minimum one-hot and an (R,L)@(L,3)
+    # matmul over the tiny light axis
+    t_best = jnp.min(t, axis=1)
+    is_best = t == t_best[:, None]
+    first = is_best & (jnp.cumsum(is_best.astype(jnp.int32), axis=1) == 1)
+    color = jnp.einsum(
+        "rl,lc->rc",
+        first.astype(jnp.float32),
+        lights.color[:, :3],
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.where(t_best < 3.0e38, t_best, -1.0), color
 
 
@@ -126,11 +134,13 @@ def _estimate_point_lights(lights: PointLights, n: Array, p: Array) -> Array:
 
 def sample_point_light(
     lights: PointLights, n: Array, p: Array, s0: Array, s1: Array
-) -> tuple[Array, Array, Array, Array]:
+) -> tuple[Array, Array, Array, Array, Array]:
     """Irradiance-proportional CDF selection (RayGen.rgen:216-256).
 
-    Returns (light_index, pdf, s0', s1').  One uniform float is consumed per
-    call — exactly one per bounce in the reference stream."""
+    Returns (onehot (R, L) f32, light_index, pdf, s0', s1').  One uniform
+    float is consumed per call — exactly one per bounce in the reference
+    stream.  The one-hot carries the selection so callers fetch light
+    attributes with an (R,L)@(L,C) matmul instead of 2M-element gathers."""
     est = _estimate_point_lights(lights, n, p)        # (R, L)
     cdf = jnp.cumsum(est, axis=1)
     total = cdf[:, -1:]
@@ -143,9 +153,11 @@ def sample_point_light(
     x, s0, s1 = rng.next_float(s0, s1)
     # first index with x < cdf[i] (:239-246)
     idx = jnp.sum((x[:, None] >= cdf[:, :-1]).astype(jnp.int32), axis=1)
-    r = jnp.arange(p.shape[0])
-    pdf = cdf[r, idx] - jnp.where(idx > 0, cdf[r, jnp.maximum(idx - 1, 0)], 0.0)
-    return idx, pdf, s0, s1
+    el = jnp.arange(cdf.shape[1], dtype=jnp.int32)
+    onehot = (el[None, :] == idx[:, None]).astype(jnp.float32)
+    cdf_lo = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf[:, :-1]], axis=1)
+    pdf = jnp.sum(onehot * (cdf - cdf_lo), axis=1)
+    return onehot, idx, pdf, s0, s1
 
 
 def pathtrace(
@@ -181,12 +193,10 @@ def pathtrace(
     throughput = jnp.ones((R, 3), f32)
     ray_pdf = jnp.ones((R,), f32)
     alive = valid
-    # sorted-position -> original pixel index, composed across per-bounce
-    # wavefront reorders; segment-local by construction (every reorder is
-    # block-diagonal on the same segment boundaries), so the final restore
-    # is one more one-hot matmul
-    pixel_perm = jnp.arange(R, dtype=jnp.int32)
-    reordered = False
+    # per-bounce reorders applied to the live state; the final pixel-order
+    # restore walks this list backwards (each inverse = one row scatter +
+    # one transposed one-hot matmul on the 3 color columns)
+    orders: list[reorder_mod.SegOrder] = []
 
     if scene.has_point_lights:
         pl_t, pl_color = intersect_point_light_spheres(
@@ -239,9 +249,15 @@ def pathtrace(
         sun_tmax = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
         if scene.has_point_lights:
             lights = scene.point_lights
-            idx, light_pdf, s0, s1 = sample_point_light(lights, n_shading, p, s0, s1)
-            lpos = lights.position[idx, :3]
-            lcol = lights.color[idx, :3]
+            onehot, _idx, light_pdf, s0, s1 = sample_point_light(
+                lights, n_shading, p, s0, s1
+            )
+            sel = lambda table: jnp.einsum(  # noqa: E731 — (R,L)@(L,3) MXU
+                "rl,lc->rc", onehot, table[:, :3],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            lpos = sel(lights.position)
+            lcol = sel(lights.color)
             delta = lpos - p
             dist_sq = math3d.dot(delta, delta)
             attenuation = math3d.rcp(dist_sq)
@@ -311,22 +327,20 @@ def pathtrace(
             t_max = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
 
             # ONE wavefront reorder per bounce: permute the ENTIRE live
-            # state into segment-local (alive, octant, origin-morton) order
-            # and stay there — the shadow/NEE traces of the next bounce
-            # ride the same order, and a final one-hot matmul restores
-            # pixel order.  The reorder itself is gather-free (all-pairs
-            # ranks + one-hot MXU matmul over all 25 state columns at
-            # once, ~45 ms vs ~330 ms for argsort+gathers; ops.reorder).
+            # state into (coarse-position, direction-bin) order — segment-
+            # local element sort + global row regroup — and stay there; the
+            # shadow/NEE traces of the next bounce ride the same order.
+            # Gather-free: all-pairs ranks + one-hot MXU matmul over all
+            # state columns at once plus one row-level gather (ops.reorder).
             if scene.bvh is not None and cfg.traversal != TraversalMode.BRUTE_FORCE:
                 lo, hi = trace._root_bounds(scene.bvh)
                 order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
                 (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
-                 s0, s1, alive, valid, pixel_perm) = reorder_mod.apply_order(
+                 s0, s1, alive, valid) = reorder_mod.apply_order(
                     order, o, d, t_min, t_max, irradiance, throughput,
-                    ray_pdf, s0, s1, alive, valid, pixel_perm,
+                    ray_pdf, s0, s1, alive, valid,
                 )
-                reordered = True
-                seg_used = order.seg
+                orders.append(order)
 
             hit = trace.trace_closest(
                 scene, cfg, o, d, t_min, t_max, cull_backface=True,
@@ -337,12 +351,8 @@ def pathtrace(
         color = math3d.tone_mapping(irradiance)  # :412 — tone-map THEN accumulate
     else:
         color = irradiance  # linear-HDR mode: display applies the curve
-    if reordered:
-        # restore pixel order: the composed per-bounce permutation is
-        # segment-local, so pixel_perm's low bits ARE within-segment
-        # destination slots — one more one-hot matmul, no scatter
-        n = pixel_perm.shape[0]
-        base = (jnp.arange(n, dtype=jnp.int32) // seg_used) * seg_used
-        restore = reorder_mod.SegOrder(ranks=pixel_perm - base, seg=seg_used)
-        (color,) = reorder_mod.apply_order(restore, color)
+    for order in reversed(orders):
+        # restore pixel order by inverting each bounce's reorder in turn
+        # (3 color columns each — cheap relative to one full-state move)
+        (color,) = reorder_mod.unapply_order(order, color)
     return color, TraceStats(rays=rays_cast)
