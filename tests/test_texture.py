@@ -145,3 +145,43 @@ def test_alpha_cutout_through_bvh():
     )
     is_hit = np.asarray(hit.is_hit)
     assert not is_hit[0] and is_hit[1]
+
+
+def test_mip_chain_native_resolutions():
+    # non-square, non-power-of-two native sizes are preserved at level 0
+    img_a = np.zeros((24, 48, 4), np.uint8)
+    img_b = np.zeros((8, 8, 4), np.uint8)
+    pool = build_texture_pool([img_a, img_b])
+    assert int(pool.width[0, 0]) == 48 and int(pool.height[0, 0]) == 24
+    assert int(pool.width[1, 0]) == 8 and int(pool.height[1, 0]) == 8
+    # chains shrink to 1x1 and clamp past their end
+    w = np.asarray(pool.width)
+    assert (w[:, -1] >= 1).all()
+    assert int(pool.width[0, 1]) == 24 and int(pool.height[0, 1]) == 12
+
+
+def test_trilinear_footprint_selects_coarse_mip():
+    # checkerboard: base level alternates 0/255, the 1x1 tail mip is ~127
+    img = np.zeros((64, 64, 4), np.uint8)
+    img[::2, :] = 255
+    img[..., 3] = 255
+    pool = build_texture_pool([img])
+    tid = jnp.zeros(4, jnp.int32)
+    # texel centers of even rows (value 255) — bilinear == raw texel
+    uv = jnp.asarray(np.full((4, 2), (22 + 0.5) / 64.0, np.float32))
+    sharp = np.asarray(sample_pool(pool, tid, uv, jnp.full((4,), 1e-6)))
+    blurred = np.asarray(sample_pool(pool, tid, uv, jnp.full((4,), 1.0)))
+    # huge footprint -> bottom mip -> the global mean; tiny -> raw texels
+    assert abs(float(blurred[0, 0]) - 0.5) < 0.1, blurred[0, 0]
+    assert (sharp[:, 0] > 0.9).all(), sharp[:, 0]
+
+
+def test_base_level_matches_unfiltered():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, size=(16, 16, 4), dtype=np.uint8)
+    pool = build_texture_pool([img])
+    # sample exactly at texel centers: bilinear == the texel value
+    xs = (np.arange(16) + 0.5) / 16.0
+    uv = jnp.asarray(np.stack([xs, np.full(16, (4 + 0.5) / 16.0)], axis=1).astype(np.float32))
+    out = np.asarray(sample_pool(pool, jnp.zeros(16, jnp.int32), uv))
+    np.testing.assert_allclose(out, img[4, :, :] / 255.0, atol=1e-6)

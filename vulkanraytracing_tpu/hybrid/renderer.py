@@ -117,7 +117,26 @@ def _render_hybrid_impl(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
     hit = trace.trace_closest(scene, cfg, o, d, t_min, t_max, cull_backface=True)
 
     attrs = fetch_surface_attributes(scene.geometry, hit)
-    unpacked = unpack_material(scene, attrs, with_occlusion=True)
+    # Screen-space uv derivatives -> texture footprint, the analog of the
+    # raster pipeline's implicit derivatives feeding trilinear mip
+    # selection (TextureManager's defaultSampler; mips from
+    # ImageHelpers.cpp:377-417).  The tiled wavefront is untiled to an
+    # image, differenced against the neighboring pixel, and retiled —
+    # pure reshape/transpose, no gathers.
+    footprint = None
+    if scene.textures is not None:
+        uv3 = jnp.concatenate([attrs.uv, jnp.zeros((r, 1), f32)], axis=1)
+        uv_img = untile_image(uv3, w, h, ty, tx)[..., :2]
+        ddx = jnp.abs(uv_img - jnp.roll(uv_img, 1, axis=1))
+        ddy = jnp.abs(uv_img - jnp.roll(uv_img, 1, axis=0))
+        fp = jnp.maximum(ddx.max(axis=-1), ddy.max(axis=-1))  # (h, w)
+        fp = jnp.pad(fp, ((0, ty * 16 - h), (0, tx * 16 - w)))
+        footprint = (
+            fp.reshape(ty, 16, tx, 16).transpose(0, 2, 1, 3).reshape(-1)
+        )
+    unpacked = unpack_material(
+        scene, attrs, with_occlusion=True, footprint=footprint
+    )
     surface = unpacked.surface
     n = unpacked.tbn[..., 2]
     albedo = surface.base_color

@@ -34,7 +34,10 @@ class UnpackedSurface(NamedTuple):
 
 
 def unpack_material(
-    scene: Scene, attrs: SurfaceAttributes, with_occlusion: bool = False
+    scene: Scene,
+    attrs: SurfaceAttributes,
+    with_occlusion: bool = False,
+    footprint: Array | None = None,
 ) -> UnpackedSurface:
     mats = scene.materials
     mid = attrs.material_id
@@ -79,26 +82,26 @@ def unpack_material(
         uv = attrs.uv
 
         # base color *= ToLinear(tex.rgb) (RayGen.rgen:94-98)
-        bc = sample_pool(pool, bc_tex, uv)
+        bc = sample_pool(pool, bc_tex, uv, footprint)
         base_color = base_color * jnp.where(
             (bc_tex >= 0)[:, None], math3d.to_linear(bc[:, :3]), 1.0
         )
         # roughness *= tex.g, metallic *= tex.b (:100-107)
-        rm = sample_pool(pool, rm_tex, uv)
+        rm = sample_pool(pool, rm_tex, uv, footprint)
         has_rm = rm_tex >= 0
         roughness = roughness * jnp.where(has_rm, rm[:, 1], 1.0)
         metallic = metallic * jnp.where(has_rm, rm[:, 2], 1.0)
         # emission *= ToLinear(tex.rgb) (:109-113)
-        em = sample_pool(pool, em_tex, uv)
+        em = sample_pool(pool, em_tex, uv, footprint)
         emission = emission * jnp.where(
             (em_tex >= 0)[:, None], math3d.to_linear(em[:, :3]), 1.0
         )
         # occlusion (hybrid G-buffer slot only; PT skips the 4 taps)
         if with_occlusion:
-            oc = sample_pool(pool, oc_tex, uv)
+            oc = sample_pool(pool, oc_tex, uv, footprint)
             occlusion = jnp.where(oc_tex >= 0, oc[:, 0], 1.0)
         # normal mapping (:86-92)
-        ns = sample_pool(pool, n_tex, uv)[:, :3] * 2.0 - 1.0
+        ns = sample_pool(pool, n_tex, uv, footprint)[:, :3] * 2.0 - 1.0
         ns = math3d.normalize(
             ns * jnp.stack([scale, scale, jnp.ones_like(scale)], axis=-1)
         )

@@ -300,7 +300,7 @@ def calculate_tangents(
 
 def load_scene(
     path: str | Path,
-    texture_size: int = 512,
+    texture_size: int = 2048,
     load_textures: bool = True,
 ) -> tuple[Scene, Optional[CameraConfig], Optional[TexturePool]]:
     """Load a glTF file into a renderable Scene (world-space flattened).
@@ -527,7 +527,9 @@ def _convert_camera(model: GltfModel) -> Optional[CameraConfig]:
 
 
 def _convert_textures(model: GltfModel, size: int) -> Optional[TexturePool]:
-    """Textures + samplers -> TexturePool (CreateTexturesData, :942-970)."""
+    """Textures + samplers -> mipped TexturePool at native resolutions,
+    capped at ``size`` (CreateTexturesData :942-970 + the TextureManager
+    mip pipeline, TextureManager.cpp:113-176)."""
     doc = model.doc
     images, wraps = [], []
     samplers = doc.get("samplers", [])
