@@ -15,12 +15,45 @@ import time
 import numpy as np
 
 
+def _attach_environment(scene, args):
+    if args.env:
+        import jax.numpy as jnp
+
+        from vulkanraytracing_tpu.app.hdr import read_hdr
+        from vulkanraytracing_tpu.env.sun import extract_direct_light
+        from vulkanraytracing_tpu.scene.types import Environment
+
+        pano = jnp.asarray(read_hdr(args.env))
+        env = Environment(panorama=pano)
+        scene = scene._replace(
+            environment=env, direct_light=extract_direct_light(pano)
+        )
+    if args.mode == "hybrid":
+        from vulkanraytracing_tpu.env.ibl import bake_ibl
+
+        scene = scene._replace(environment=bake_ibl(scene.environment))
+    return scene
+
+
 def _build_scene(args):
+    """Returns (scene, camera_cfg_or_None, animation_or_None).
+
+    ``animation`` is a (soup, transforms_fn) pair for the two-level
+    animated-instances path (Engine builds + refits the TLAS itself)."""
     from vulkanraytracing_tpu.accel import build_scene_bvh
     from vulkanraytracing_tpu.config import CameraConfig
     from vulkanraytracing_tpu.scene import procedural
 
     camera_cfg = None
+    if args.scene == "animated":
+        # two-level animated-instances demo (BASELINE config 5): built
+        # through Engine(instances=..., animation=...) -> TLAS refit/frame
+        scene, soup, anim = procedural.animated_instances_demo()
+        camera_cfg = CameraConfig(
+            position=(0.0, 4.0, 10.0), target=(0.0, 1.0, 0.0),
+            aspect_ratio=args.width / args.height,
+        )
+        return _attach_environment(scene, args), camera_cfg, (soup, anim)
     if args.scene in ("cornell", "triangle", "sponza_like"):
         scene = {
             "cornell": procedural.cornell_box_scene,
@@ -43,33 +76,16 @@ def _build_scene(args):
         if not Path(args.scene).exists():
             raise SystemExit(
                 f"error: scene '{args.scene}' not found (expected a "
-                "glTF/GLB path or one of: cornell, triangle, sponza_like)"
+                "glTF/GLB path or one of: cornell, triangle, sponza_like, animated)"
             )
         from vulkanraytracing_tpu.scene.gltf import load_scene
 
         scene, camera_cfg, _pool = load_scene(args.scene)
 
-    if args.env:
-        import jax.numpy as jnp
-
-        from vulkanraytracing_tpu.app.hdr import read_hdr
-        from vulkanraytracing_tpu.env.sun import extract_direct_light
-        from vulkanraytracing_tpu.scene.types import Environment
-
-        pano = jnp.asarray(read_hdr(args.env))
-        env = Environment(panorama=pano)
-        scene = scene._replace(
-            environment=env, direct_light=extract_direct_light(pano)
-        )
-
-    if args.mode == "hybrid":
-        from vulkanraytracing_tpu.env.ibl import bake_ibl
-
-        scene = scene._replace(environment=bake_ibl(scene.environment))
-
+    scene = _attach_environment(scene, args)
     if not args.brute:
         scene = build_scene_bvh(scene, builder="sah")
-    return scene, camera_cfg
+    return scene, camera_cfg, None
 
 
 def _scene_needs_alpha(scene) -> bool:
@@ -86,7 +102,7 @@ def cmd_render(args) -> int:
     from vulkanraytracing_tpu.scene.camera import Camera
     from vulkanraytracing_tpu.utils import ScopeTime, log_i
 
-    scene, camera_cfg = _build_scene(args)
+    scene, camera_cfg, animation = _build_scene(args)
     cfg = Config(
         width=args.width,
         height=args.height,
@@ -99,7 +115,11 @@ def cmd_render(args) -> int:
     if camera_cfg is not None:
         cfg = cfg.replace(camera=camera_cfg)
 
-    engine = Engine(cfg, scene, Camera(cfg.camera))
+    engine = Engine(
+        cfg, scene, Camera(cfg.camera),
+        instances=animation[0] if animation else None,
+        animation=animation[1] if animation else None,
+    )
     if args.resume:
         engine.load_checkpoint(args.resume)
         log_i(f"resumed at spp {int(engine.state.accum_index)}")
@@ -127,7 +147,7 @@ def cmd_view(args) -> int:
     from vulkanraytracing_tpu.config import Config, RenderMode, TraversalMode
     from vulkanraytracing_tpu.scene.camera import Camera
 
-    scene, camera_cfg = _build_scene(args)
+    scene, camera_cfg, animation = _build_scene(args)
     cfg = Config(
         width=args.width,
         height=args.height,
@@ -137,7 +157,11 @@ def cmd_view(args) -> int:
     )
     if camera_cfg is not None:
         cfg = cfg.replace(camera=camera_cfg)
-    engine = Engine(cfg, scene, Camera(cfg.camera))
+    engine = Engine(
+        cfg, scene, Camera(cfg.camera),
+        instances=animation[0] if animation else None,
+        animation=animation[1] if animation else None,
+    )
     if not sys.stdin.isatty():
         print("view requires a tty (WASD fly camera, t toggles mode, q quits)",
               file=sys.stderr)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from vulkanraytracing_tpu.app.events import EventBus, EventType, Key, KeyAction, KeyInput
@@ -39,10 +40,37 @@ from vulkanraytracing_tpu.utils.profiling import RayCounter
 
 
 class Engine:
-    def __init__(self, cfg: Config, scene: Scene, camera: Optional[Camera] = None):
+    def __init__(
+        self,
+        cfg: Config,
+        scene: Scene,
+        camera: Optional[Camera] = None,
+        instances=None,          # accel.tlas.InstanceSoup — two-level scene
+        animation=None,          # frame_index -> (I, 3, 4) world transforms
+    ):
         self.cfg = cfg
         self.scene = scene
         self.bus = EventBus()
+        # --- animated instances (BASELINE config 5: "animated instances:
+        # BVH refit, accumulation reset per move").  Ref: per-frame TLAS
+        # update, SceneModel.cpp:870-909 + AccelerationStructureManager
+        # eAllowUpdate refits (:167-192).  The soup is built + Morton-
+        # ordered once; each frame with changed transforms runs the
+        # on-device refit (accel.tlas.refit_tlas) and resets accumulation.
+        self._soup_sorted = None
+        self._animation = animation
+        self._frame_index = 0
+        self._last_transforms = None
+        if instances is not None:
+            from vulkanraytracing_tpu.accel.tlas import build_tlas, permute_soup
+
+            t0 = animation(0) if animation is not None else None
+            if t0 is None:
+                raise ValueError("instances require an animation callback")
+            geom, bvh, order = build_tlas(instances, jnp.asarray(t0))
+            self._soup_sorted = permute_soup(instances, order)
+            self.scene = scene._replace(geometry=geom, bvh=bvh)
+            self._last_transforms = np.asarray(t0)
         self.camera = camera or Camera(cfg.camera)
         self.render_mode = cfg.render_mode
         self.timer = Timer()
@@ -131,12 +159,29 @@ class Engine:
             self._camera_dirty = False
         return self._camera_dev
 
+    def _advance_animation(self) -> None:
+        if self._soup_sorted is None or self._animation is None:
+            return
+        transforms = np.asarray(self._animation(self._frame_index))
+        self._frame_index += 1
+        if np.array_equal(transforms, self._last_transforms):
+            return  # static this frame: keep accumulating
+        from vulkanraytracing_tpu.accel.tlas import refit_tlas
+
+        geom, bvh = refit_tlas(
+            self.scene.bvh, self._soup_sorted, jnp.asarray(transforms)
+        )
+        self.scene = self.scene._replace(geometry=geom, bvh=bvh)
+        self._last_transforms = transforms
+        self.state = reset_accumulation(self.state)  # "reset per move"
+
     def draw(self) -> None:
         """One frame with the active render system (Engine.cpp:154-166)."""
         dt = self.timer.get_delta_seconds()
         for system in self.systems:
             system.process(dt)
 
+        self._advance_animation()
         camera = self._device_camera()
         if self.render_mode == RenderMode.PATH_TRACING:
             self.state, stats = render_frame(

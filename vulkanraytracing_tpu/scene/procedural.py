@@ -285,3 +285,66 @@ def sponza_like_scene(target_triangles: int = 262144, seed: int = 7) -> Scene:
         ),
         bvh=None,
     )
+
+
+def animated_instances_demo(orbiters: int = 4):
+    """Two-level animated scene — BASELINE config 5 ("interactive camera +
+    animated instances: BVH refit, accumulation reset per move").
+
+    A static ground quad BLAS plus one sphere BLAS instanced ``orbiters``
+    times; the animation callback orbits the spheres around the y axis.
+    Returns (scene_template, soup, animation) for ``app.engine.Engine``:
+    the reference renders this shape of scene through a per-frame TLAS of
+    BLAS instances (SceneModel.cpp:870-909).
+
+    Usage::
+
+        scene, soup, anim = animated_instances_demo()
+        eng = Engine(cfg, scene, instances=soup, animation=anim)
+    """
+    import math
+
+    from vulkanraytracing_tpu.accel.tlas import make_instances
+
+    gv, gi = _quad([-6, 0, -6], [-6, 0, 6], [6, 0, 6], [6, 0, -6])
+    ground = make_trace_geometry(gv, gi, material_id=0)
+    sv, si = generate_sphere(radius=0.6)
+    sphere = make_trace_geometry(sv, si, material_id=1)
+
+    soup = make_instances(
+        blases=[ground, sphere],
+        blas_ids=[0] + [1] * orbiters,
+        material_offsets=[0] + [i % 2 for i in range(orbiters)],
+    )
+
+    materials = make_materials(
+        base_color_factors=[
+            (0.7, 0.7, 0.7, 1.0),   # ground
+            (0.8, 0.3, 0.2, 1.0),   # orbiter A
+            (0.2, 0.4, 0.8, 1.0),   # orbiter B
+        ],
+        roughness_factors=[0.9, 0.4, 0.2],
+        metallic_factors=[0.0, 0.1, 0.8],
+    )
+
+    def animation(frame_index: int) -> np.ndarray:
+        t = frame_index * (2.0 * math.pi / 96.0)
+        mats = [np.eye(4, dtype=np.float32)]  # ground static
+        for i in range(orbiters):
+            phase = t + i * (2.0 * math.pi / orbiters)
+            m = np.eye(4, dtype=np.float32)
+            m[0, 3] = 3.0 * math.cos(phase)
+            m[1, 3] = 1.2 + 0.4 * math.sin(2.0 * phase)
+            m[2, 3] = 3.0 * math.sin(phase)
+            mats.append(m)
+        return np.stack(mats, axis=0)
+
+    scene = Scene(
+        geometry=ground,  # placeholder; Engine replaces it via build_tlas
+        materials=materials,
+        environment=constant_environment((0.6, 0.7, 0.9)),
+        direct_light=no_direct_light(),
+        point_lights=None,
+        bvh=None,
+    )
+    return scene, soup, animation
