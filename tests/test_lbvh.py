@@ -1,5 +1,9 @@
 """LBVH invariants + traversal equivalence against brute force
-(SURVEY.md section 4 unit-test list)."""
+(SURVEY.md section 4 unit-test list).
+
+Wall-time note: this box has ONE cpu core, so XLA compile time dominates
+the suite.  All soups share one triangle count and all ray sets one count
+so the builder/traversal jits compile once and are reused across tests."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -53,7 +57,7 @@ def _walk_leaves(child, root=0):
 def test_leaves_partition_triangles():
     """Leaf ranges reachable from the root exactly tile [0, T) — every
     triangle in exactly one leaf (the collapse-correctness invariant)."""
-    scene = triangle_soup_scene(500, seed=1)
+    scene = triangle_soup_scene(960, seed=1)
     geom, bvh = lbvh.build_bvh(scene.geometry)
     n = geom.num_triangles
     leaves = _walk_leaves(np.asarray(bvh.child_index))
@@ -66,7 +70,7 @@ def test_leaves_partition_triangles():
 
 
 def test_parent_aabb_contains_children():
-    scene = triangle_soup_scene(300, seed=2)
+    scene = triangle_soup_scene(960, seed=2)
     geom, bvh = lbvh.build_bvh(scene.geometry)
     nodes = np.asarray(bvh.nodes)
     child = np.asarray(bvh.child_index)
@@ -85,9 +89,9 @@ def test_parent_aabb_contains_children():
 @pytest.mark.parametrize("cull", [True, False])
 @pytest.mark.parametrize("backend", ["per_ray", "packet"])
 def test_traversal_matches_brute_force(cull, backend):
-    scene = triangle_soup_scene(2000, seed=3)
+    scene = triangle_soup_scene(960, seed=3)
     geom, bvh = lbvh.build_bvh(scene.geometry)
-    o, d, tmin, tmax = _random_rays(512, extent=11.0, seed=4)
+    o, d, tmin, tmax = _random_rays(256, extent=11.0, seed=4)
 
     brute = intersect.intersect_closest_brute(
         geom, o, d, tmin, tmax, cull_backface=cull
@@ -112,9 +116,9 @@ def test_traversal_matches_brute_force(cull, backend):
 
 @pytest.mark.parametrize("backend", ["per_ray", "packet"])
 def test_any_hit_matches_brute_force(backend):
-    scene = triangle_soup_scene(1500, seed=5)
+    scene = triangle_soup_scene(960, seed=5)
     geom, bvh = lbvh.build_bvh(scene.geometry)
-    o, d, tmin, tmax = _random_rays(512, extent=11.0, seed=6)
+    o, d, tmin, tmax = _random_rays(256, extent=11.0, seed=6)
     brute = intersect.intersect_any_brute(geom, o, d, tmin, tmax)
     if backend == "per_ray":
         fast = traverse.intersect_any_bvh(geom, bvh, o, d, tmin, tmax)
@@ -154,10 +158,10 @@ def test_single_triangle_bvh():
 
 
 def test_empty_window_rays_never_hit():
-    scene = triangle_soup_scene(100, seed=8)
+    scene = triangle_soup_scene(960, seed=8)
     geom, bvh = lbvh.build_bvh(scene.geometry)
-    o, d, tmin, _ = _random_rays(32, extent=5.0, seed=9)
-    tmax = jnp.zeros((32,))  # dead lanes
+    o, d, tmin, _ = _random_rays(256, extent=5.0, seed=9)
+    tmax = jnp.zeros((256,))  # dead lanes
     for fn in (traverse.intersect_closest_bvh, traverse_packet.intersect_closest_packet):
         hit = fn(geom, bvh, o, d, tmin, tmax)
         assert not bool(np.asarray(hit.is_hit).any())
@@ -166,10 +170,10 @@ def test_empty_window_rays_never_hit():
 def test_nonuniform_leaf_sizes():
     # traversal unrolls lbvh.LEAF_SIZE triangle tests, so builds may use any
     # leaf size up to that bound
-    for leaf_size in (1, 2, 4):
-        scene = triangle_soup_scene(700, seed=10)
+    for leaf_size in (1, 4):
+        scene = triangle_soup_scene(960, seed=10)
         geom, bvh = lbvh.build_bvh(scene.geometry, leaf_size=leaf_size)
-        o, d, tmin, tmax = _random_rays(128, extent=11.0, seed=11)
+        o, d, tmin, tmax = _random_rays(256, extent=11.0, seed=11)
         brute = intersect.intersect_closest_brute(geom, o, d, tmin, tmax)
         fast = traverse.intersect_closest_bvh(geom, bvh, o, d, tmin, tmax)
         np.testing.assert_array_equal(

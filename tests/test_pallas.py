@@ -40,12 +40,12 @@ def _rays(n, extent, seed=0):
 @pytest.mark.parametrize("builder", ["lbvh", "sah"])
 @pytest.mark.parametrize("cull", [True, False])
 def test_pallas_matches_brute(kernel, builder, cull):
-    scene = triangle_soup_scene(1500, seed=3)
+    scene = triangle_soup_scene(960, seed=3)
     if builder == "sah":
         geom, bvh = build_bvh_sah(scene.geometry)
     else:
         geom, bvh = lbvh.build_bvh(scene.geometry)
-    o, d, tmin, tmax = _rays(1100, extent=11.0, seed=4)  # non-multiple of 1024
+    o, d, tmin, tmax = _rays(300, extent=11.0, seed=4)  # non-multiple of 128/1024
 
     brute = intersect.intersect_closest_brute(
         geom, o, d, tmin, tmax, cull_backface=cull
@@ -65,9 +65,9 @@ def test_pallas_matches_brute(kernel, builder, cull):
 
 @pytest.mark.parametrize("kernel", sorted(KERNELS))
 def test_pallas_any_hit_matches_brute(kernel):
-    scene = triangle_soup_scene(800, seed=5)
+    scene = triangle_soup_scene(960, seed=5)
     geom, bvh = lbvh.build_bvh(scene.geometry)
-    o, d, tmin, tmax = _rays(512, extent=11.0, seed=6)
+    o, d, tmin, tmax = _rays(300, extent=11.0, seed=6)
     brute = intersect.intersect_any_brute(geom, o, d, tmin, tmax)
     fast = KERNELS[kernel].intersect_any(geom, bvh, o, d, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(brute), np.asarray(fast))
