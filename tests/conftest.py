@@ -11,12 +11,25 @@ var), so tests must override the *config* before first backend use.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent-cache loads trip a spurious XLA:CPU AOT machine-feature check
+# (+prefer-no-scatter/+prefer-no-gather are XLA pseudo-features, not ISA
+# bits) that logs a full feature dump per executable; silence C++ logs.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+# This box has ONE cpu core, so XLA compile time dominates suite wall time.
+# A persistent compilation cache makes re-runs cheap (first run still pays);
+# the cache key includes device count/platform, so the 8-device CPU mesh and
+# the sharding subprocess share entries across runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 # NOTE: do NOT add a jax.clear_caches() fixture here.  It makes the jax 0.9
 # executable-resolution bug ("Execution supplied N buffers but compiled

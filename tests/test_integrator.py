@@ -163,6 +163,9 @@ def test_backends_render_identically(mode):
 def test_no_nans_on_soup():
     cfg = _cfg(traversal=TraversalMode.BVH)
     cam = Camera(cfg.camera).to_device()
-    scene = build_scene_bvh(triangle_soup_scene(3000, seed=11))
+    # 960 tris matches the soup size used across test_lbvh/test_pallas so
+    # the BVH-builder jit compiles once per process (1-core box: compile
+    # time dominates the suite)
+    scene = build_scene_bvh(triangle_soup_scene(960, seed=11))
     st, _ = render_frame(scene, cfg, cam, create_render_state(cfg))
     assert not np.isnan(np.asarray(st.accumulation)).any()

@@ -1,0 +1,153 @@
+"""Parity artifact: the RMSE quality gate, exercised end-to-end.
+
+BASELINE.json names "image RMSE parity" with a 1e-3 gate at 1024 spp.  The
+reference renderer is Vulkan/C++ and cannot run on this box, so the gate
+is exercised the way the framework will be judged in practice: the
+PRODUCTION traversal backend (Pallas wide8) must converge to the same
+image as the BRUTE-FORCE oracle — same RNG stream, same estimator, same
+accumulation semantics — in BOTH accumulation modes:
+
+- parity mode: tone-map-then-accumulate + RGBA8 quantization per frame
+  (the reference's RayGen.rgen:438-447 behavior), and
+- linear-HDR mode (the unbiased estimator the framework adds).
+
+It renders Cornell (BASELINE config 1) and a textured quad (config 2's
+texture path), writes PNGs + a JSON report under ``artifacts/parity/``.
+
+Run:  python tools/parity_artifact.py            (full: 512x512, 1024 spp)
+      VRT_PARITY_SMALL=1 python tools/...        (CPU smoke: 64x64, 8 spp)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _textured_quad_scene():
+    """A checkered textured quad under constant light (the texture slice of
+    BASELINE config 2) — procedural because the box ships no glTF assets."""
+    import jax.numpy as jnp
+
+    from vulkanraytracing_tpu.ops.texture import build_texture_pool
+    from vulkanraytracing_tpu.scene.types import (
+        Scene,
+        constant_environment,
+        make_materials,
+        make_trace_geometry,
+        no_direct_light,
+    )
+
+    checker = np.zeros((64, 64, 4), np.uint8)
+    yy, xx = np.mgrid[0:64, 0:64]
+    cells = ((xx // 8 + yy // 8) % 2).astype(bool)
+    checker[..., 0] = np.where(cells, 230, 40)
+    checker[..., 1] = np.where(cells, 120, 160)
+    checker[..., 2] = np.where(cells, 40, 230)
+    checker[..., 3] = 255
+
+    positions = np.array(
+        [[-1.5, -1.5, 0], [1.5, -1.5, 0], [1.5, 1.5, 0], [-1.5, 1.5, 0]],
+        np.float32,
+    )
+    indices = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uvs_corner = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    uvs = uvs_corner[indices].reshape(-1, 2)
+    geom = make_trace_geometry(
+        positions, indices, uvs=uvs, cull_disable=True
+    )
+    mats = make_materials(
+        base_color_factors=[(1.0, 1.0, 1.0, 1.0)],
+        roughness_factors=[0.8],
+        metallic_factors=[0.0],
+        base_color_textures=[0],
+    )
+    return Scene(
+        geometry=geom,
+        materials=mats,
+        environment=constant_environment((0.9, 0.9, 0.9)),
+        direct_light=no_direct_light(),
+        point_lights=None,
+        bvh=None,
+        textures=build_texture_pool([checker]),
+    )
+
+
+def _render(scene, cfg, spp):
+    from vulkanraytracing_tpu.pt.render import render_progressive, to_display
+    from vulkanraytracing_tpu.scene.camera import Camera
+
+    cam = Camera(cfg.camera).to_device()
+    t0 = time.perf_counter()
+    state, rays = render_progressive(scene, cfg, cam, spp=spp)
+    dt = time.perf_counter() - t0
+    return to_display(state, cfg), rays, dt
+
+
+def main() -> int:
+    small = bool(os.environ.get("VRT_PARITY_SMALL"))
+    size, spp = (64, 8) if small else (512, 1024)
+
+    from vulkanraytracing_tpu.accel import build_scene_bvh
+    from vulkanraytracing_tpu.app.image_io import rmse, write_png
+    from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode
+    from vulkanraytracing_tpu.scene.procedural import cornell_box_scene
+
+    out_dir = Path(__file__).resolve().parent.parent / "artifacts" / "parity"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    report: dict = {"size": size, "spp": spp, "cases": {}}
+
+    cam = CameraConfig(
+        position=(0.0, 0.0, 3.2), aspect_ratio=1.0,
+        x_fov=float(np.radians(60.0)),
+    )
+
+    def case(name, scene_fn, needs_alpha=False):
+        for mode in ("parity", "hdr"):
+            base = Config(
+                width=size, height=size, camera=cam,
+                parity_quantization=(mode == "parity"),
+                tone_map_before_accumulation=(mode == "parity"),
+                alpha_visibility=needs_alpha,
+            )
+            imgs = {}
+            for backend in ("oracle", "production"):
+                scene = scene_fn()
+                if backend == "production":
+                    scene = build_scene_bvh(scene, builder="sah")
+                    cfg = base.replace(traversal=TraversalMode.BVH_PALLAS)
+                else:
+                    cfg = base.replace(traversal=TraversalMode.BRUTE_FORCE)
+                img, rays, dt = _render(scene, cfg, spp)
+                imgs[backend] = img
+                write_png(out_dir / f"{name}_{mode}_{backend}.png", img)
+                print(f"{name}/{mode}/{backend}: {rays / 1e6:.1f} Mrays "
+                      f"in {dt:.1f}s", flush=True)
+            value = rmse(
+                imgs["oracle"].astype(np.float32) / 255.0,
+                imgs["production"].astype(np.float32) / 255.0,
+            )
+            report["cases"][f"{name}_{mode}"] = {
+                "rmse": value, "passes_1e-3": value <= 1e-3,
+            }
+            print(f"{name}/{mode}: RMSE {value:.2e} "
+                  f"({'PASS' if value <= 1e-3 else 'FAIL'} @1e-3)", flush=True)
+
+    case("cornell", cornell_box_scene)
+    case("textured", _textured_quad_scene, needs_alpha=False)
+
+    report["all_pass"] = all(c["passes_1e-3"] for c in report["cases"].values())
+    (out_dir / "report.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report))
+    return 0 if report["all_pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -329,13 +329,39 @@ _DONE_PAD = -1  # leaf code decoding to (start 0, count 0): never matches
 
 
 def build_scene_bvh(
-    scene: Scene, leaf_size: int = LEAF_SIZE, builder: str = "lbvh"
+    scene: Scene,
+    leaf_size: int = LEAF_SIZE,
+    builder: str = "lbvh",
+    chunk_tris: int | None = None,
 ) -> Scene:
     """Permute the scene geometry and attach its BVH.
 
     builder: "lbvh" (on-device, fast build/refit) or "sah" (native C++
     binned SAH, higher-quality trees for static scenes — the
-    ePreferFastTrace analog)."""
+    ePreferFastTrace analog).
+
+    Scenes past the wide8 kernel's VMEM triangle limit are built CHUNKED
+    (accel.chunks): per-chunk BVH8 streaming tables plus a merged global
+    BVH2, so the production Pallas path keeps running instead of silently
+    degrading to the packet fallback.  ``chunk_tris`` forces a chunk size
+    (used by tests); None auto-chunks only past the VMEM limit."""
+    host_built = not isinstance(scene.geometry.v0, jax.core.Tracer)
+    if chunk_tris is None and host_built:
+        from vulkanraytracing_tpu.ops.traverse_wide8 import VMEM_TRI_LIMIT
+
+        if scene.geometry.num_triangles > VMEM_TRI_LIMIT:
+            from vulkanraytracing_tpu.accel.chunks import DEFAULT_CHUNK_TRIS
+
+            chunk_tris = DEFAULT_CHUNK_TRIS
+    if chunk_tris is not None and scene.geometry.num_triangles > chunk_tris:
+        from vulkanraytracing_tpu.accel.chunks import build_scene_bvh_chunked
+
+        out = build_scene_bvh_chunked(
+            scene, chunk_tris, leaf_size=leaf_size,
+            builder="sah" if builder == "sah" else "lbvh",
+        )
+        if out is not None:
+            return out
     if builder == "sah":
         from vulkanraytracing_tpu.accel.sah import build_bvh_sah
 

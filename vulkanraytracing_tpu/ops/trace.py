@@ -43,7 +43,7 @@ def _closest_backend(mode: TraversalMode):
         # (accel.bvh8); the 2-wide wide kernel otherwise (e.g. BVH built
         # inside a trace, where the collapse can't run)
         def closest(geom, bvh, *args, **kwargs):
-            if bvh.nodes8 is not None:
+            if bvh.nodes8 is not None or bvh.chunks is not None:
                 from vulkanraytracing_tpu.ops import traverse_wide8
 
                 return traverse_wide8.intersect_closest(
@@ -74,7 +74,7 @@ def _closest_backend(mode: TraversalMode):
 def _any_backend(mode: TraversalMode):
     if mode == TraversalMode.BVH_PALLAS:
         def anyhit(geom, bvh, *args, **kwargs):
-            if bvh.nodes8 is not None:
+            if bvh.nodes8 is not None or bvh.chunks is not None:
                 from vulkanraytracing_tpu.ops import traverse_wide8
 
                 return traverse_wide8.intersect_any(geom, bvh, *args, **kwargs)

@@ -55,13 +55,26 @@ VMEM_TRI_LIMIT = 400_000
 
 
 def wide8_supported(bvh: BVH) -> bool:
+    if bvh.chunks is not None:
+        return True  # HBM-streaming path: no VMEM triangle limit
     return bvh.nodes8 is not None and bvh.tris.shape[0] <= VMEM_TRI_LIMIT
 
 
-def _unified_table8(bvh: BVH) -> tuple[Array, Array]:
+def _chunked_args(bvh: BVH) -> tuple[Array, int, int]:
+    """(flat table, node rows per chunk, K) for the streaming kernel."""
+    ch = bvh.chunks
+    k, rows, _ = ch.tables.shape
+    return ch.tables.reshape(k * rows, LANE_COLS), ch.node_rows, k
+
+
+def _unified_table8(bvh: BVH, tid_offset: int = 0) -> tuple[Array, Array]:
     """Rows [0, NR): BVH8 node records (48 f32-bitcast AABB floats, child
     ids at lanes 48-55).  Row NR: zero sentinel.  Rows (NR, NR+TR]: tri
-    records identical to traverse_wide's."""
+    records identical to traverse_wide's.
+
+    ``tid_offset`` shifts the committed triangle ids — used by the chunked
+    streaming path (accel.chunks), whose tables are chunk-local but whose
+    winners must name global triangles."""
     nodes8 = bvh.nodes8          # (M, 48) f32
     child8 = bvh.child8          # (M, 8) i32
     tris = bvh.tris              # (T, 12) f32
@@ -84,7 +97,9 @@ def _unified_table8(bvh: BVH) -> tuple[Array, Array]:
         ],
         axis=1,
     )
-    tri_index = jnp.arange(t, dtype=jnp.float32)[:, None]
+    tri_index = (
+        jnp.arange(t, dtype=jnp.float32)[:, None] + jnp.float32(tid_offset)
+    )
     tri_rec = jnp.concatenate(
         [
             tris[:, :9],
@@ -104,7 +119,20 @@ def _unified_table8(bvh: BVH) -> tuple[Array, Array]:
     return table, m
 
 
-def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
+def _kernel(
+    cull_backface: bool,
+    any_hit: bool,
+    nr_rows: int,
+    W: int,
+    chunked: bool = False,
+):
+    """``chunked=True`` compiles the HBM-streaming variant: the grid is
+    (n_waves, K) and grid step (w, k) traverses chunk k's BVH8 table (the
+    pallas pipeline streams the next chunk's table HBM->VMEM while this one
+    computes).  Hit state (wbest/wtri/...) lives in scratch, which persists
+    across grid steps: it is initialized at k == 0 and carried through the
+    chunks, so wbest doubles as a cross-chunk tightening t_max.  Cursors
+    restart at each chunk's root."""
     tiny = 1e-30
     big = 3.0e38
 
@@ -368,15 +396,28 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
         riz[...] = safe_inv(pdz[...])
         tminr = ptmin[...]
         tmaxr = ptmax[...]
-        wbest[...] = jnp.minimum(tmaxr, big)
-        wtri[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
-        whit[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
-        wu[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
-        wv[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
-        wbf[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
-        live = jnp.sum(
-            jnp.where(tminr <= tmaxr, 1, 0), axis=1, keepdims=True
-        )
+
+        def init_state():
+            wbest[...] = jnp.minimum(tmaxr, big)
+            wtri[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+            whit[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+            wu[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
+            wv[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
+            wbf[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+
+        if chunked:
+            # hit state persists in scratch across the chunk axis; only the
+            # first chunk of each wave starts fresh
+            pl.when(pl.program_id(1) == 0)(init_state)
+        else:
+            init_state()
+
+        relevant = tminr <= tmaxr
+        if any_hit and chunked:
+            # rows whose every live lane already found an occluder in an
+            # earlier chunk skip this chunk entirely
+            relevant &= whit[...] == 0
+        live = jnp.sum(jnp.where(relevant, 1, 0), axis=1, keepdims=True)
         cur0 = jnp.where(live > 0, 0, DONE)
         row0, sh0 = fetch_addr(cur0)
         meta[...] = jnp.where(
@@ -401,7 +442,11 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
         iters = jnp.where(colix == 1, n_int // LANE_COLS, iters)
         iters = jnp.where(colix == 2, n_leaf // LANE_COLS, iters)
 
-        @pl.when(pl.program_id(0) == 0)
+        first_step = pl.program_id(0) == 0
+        if chunked:
+            first_step &= pl.program_id(1) == 0
+
+        @pl.when(first_step)
         def _():
             octr[...] = jnp.zeros(shape, jnp.int32)
 
@@ -424,6 +469,7 @@ def _traverse_wide8_packed(
     any_hit: bool,
     interpret: bool = False,
     return_counters: bool = False,
+    n_chunks: int = 1,
 ):
     r_orig = o.shape[0]
     # interpret mode pays per-row python cost; keep the resident set small
@@ -441,15 +487,34 @@ def _traverse_wide8_packed(
     tmin2 = _pad_to(t_min, r, 1.0).reshape(pool_rows, LANE_COLS)
     tmax2 = _pad_to(t_max, r, 0.0).reshape(pool_rows, LANE_COLS)
 
-    tab_spec = pl.BlockSpec(
-        table.shape, lambda w: (0, 0), memory_space=pltpu.VMEM
-    )
-    wave_spec = lambda: pl.BlockSpec(  # noqa: E731
-        (W, LANE_COLS), lambda w: (w, 0), memory_space=pltpu.VMEM
-    )
-    ctr_spec = pl.BlockSpec(
-        (8, LANE_COLS), lambda w: (0, 0), memory_space=pltpu.VMEM
-    )
+    chunked = n_chunks > 1
+    if chunked:
+        # table rows are K stacked per-chunk tables; grid step (w, k)
+        # traverses chunk k — the pipeline streams chunk k+1's table from
+        # HBM while k computes, so only ONE chunk table is VMEM-resident
+        grid = (n_waves, n_chunks)
+        chunk_rows = table.shape[0] // n_chunks
+        tab_spec = pl.BlockSpec(
+            (chunk_rows, LANE_COLS), lambda w, k: (k, 0),
+            memory_space=pltpu.VMEM,
+        )
+        wave_spec = lambda: pl.BlockSpec(  # noqa: E731
+            (W, LANE_COLS), lambda w, k: (w, 0), memory_space=pltpu.VMEM
+        )
+        ctr_spec = pl.BlockSpec(
+            (8, LANE_COLS), lambda w, k: (0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        grid = (n_waves,)
+        tab_spec = pl.BlockSpec(
+            table.shape, lambda w: (0, 0), memory_space=pltpu.VMEM
+        )
+        wave_spec = lambda: pl.BlockSpec(  # noqa: E731
+            (W, LANE_COLS), lambda w: (w, 0), memory_space=pltpu.VMEM
+        )
+        ctr_spec = pl.BlockSpec(
+            (8, LANE_COLS), lambda w: (0, 0), memory_space=pltpu.VMEM
+        )
     out_shape = [
         jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.float32),
         jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32),
@@ -464,8 +529,8 @@ def _traverse_wide8_packed(
     i32scr = lambda: pltpu.VMEM((W, LANE_COLS), jnp.int32)  # noqa: E731
 
     call = pl.pallas_call(
-        _kernel(cull_backface, any_hit, nr_rows, W),
-        grid=(n_waves,),
+        _kernel(cull_backface, any_hit, nr_rows, W, chunked=chunked),
+        grid=grid,
         in_specs=[tab_spec] + [wave_spec() for _ in range(8)],
         out_specs=[wave_spec()] * 6 + [ctr_spec],
         out_shape=out_shape,
@@ -506,7 +571,8 @@ from vulkanraytracing_tpu.core.jit_utils import hot_jit
 _traverse_wide8_jitted = hot_jit(
     _traverse_wide8_packed,
     static_argnames=(
-        "nr_rows", "cull_backface", "any_hit", "interpret", "return_counters"
+        "nr_rows", "cull_backface", "any_hit", "interpret",
+        "return_counters", "n_chunks",
     ),
 )
 
@@ -522,7 +588,7 @@ def _dispatch(o):
 
 
 def _with_bvh8(bvh: BVH) -> BVH:
-    if bvh.nodes8 is not None:
+    if bvh.nodes8 is not None or bvh.chunks is not None:
         return bvh
     from vulkanraytracing_tpu.accel.bvh8 import collapse_bvh8
 
@@ -546,12 +612,16 @@ def intersect_closest(
             geom, bvh, o, d, t_min, t_max, cull_backface=cull_backface
         )
     del geom
-    table, nr = _unified_table8(bvh)
+    if bvh.chunks is not None:
+        table, nr, k = _chunked_args(bvh)
+    else:
+        table, nr = _unified_table8(bvh)
+        k = 1
     return _dispatch(o)(
         table, nr, bvh.tris,
         o, d, t_min, t_max,
         cull_backface=cull_backface, any_hit=False,
-        interpret=_use_interpret(),
+        interpret=_use_interpret(), n_chunks=k,
     )
 
 
@@ -569,11 +639,15 @@ def intersect_any(
 
         return traverse_wide.intersect_any(geom, bvh, o, d, t_min, t_max)
     del geom
-    table, nr = _unified_table8(bvh)
+    if bvh.chunks is not None:
+        table, nr, k = _chunked_args(bvh)
+    else:
+        table, nr = _unified_table8(bvh)
+        k = 1
     hit = _dispatch(o)(
         table, nr, bvh.tris,
         o, d, t_min, t_max,
         cull_backface=False, any_hit=True,
-        interpret=_use_interpret(),
+        interpret=_use_interpret(), n_chunks=k,
     )
     return hit.t < _BIG_T

@@ -130,6 +130,36 @@ class Environment(NamedTuple):
     brdf_lut: Optional[jnp.ndarray] = None     # (S, S, 2) scale/offset
 
 
+@jax.tree_util.register_pytree_node_class
+class ChunkSet:
+    """Stacked per-chunk wide8 traversal tables for the HBM-streaming
+    kernel (accel.chunks / ops.traverse_wide8 ``chunked=True``).
+
+    ``tables`` is (K, R, 128) int32 — K chunk tables, each laid out as
+    [node_rows BVH8 node records | 1 sentinel row | tri rows].  The
+    traversal grid streams one chunk table at a time HBM->VMEM, removing
+    the single-table VMEM triangle limit.  ``node_rows`` is a *static*
+    Python int (pytree aux data, not a leaf) so the kernel's row-decode
+    stays compile-time constant under jit."""
+
+    def __init__(self, tables: jnp.ndarray, node_rows: int):
+        self.tables = tables
+        self.node_rows = node_rows
+
+    def tree_flatten(self):
+        return (self.tables,), self.node_rows
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"ChunkSet(tables={getattr(self.tables, 'shape', None)}, "
+            f"node_rows={self.node_rows})"
+        )
+
+
 class BVH(NamedTuple):
     """Flattened 2-wide BVH with collapsed multi-triangle leaves
     (see accel.lbvh).
@@ -156,6 +186,11 @@ class BVH(NamedTuple):
     # would accept for every ray (see accel/bvh8.py module docstring).
     nodes8: Optional[jnp.ndarray] = None  # (M, 48) f32 — 8x (lo3, hi3)
     child8: Optional[jnp.ndarray] = None  # (M, 8) i32
+    # optional HBM-streaming chunk tables (accel.chunks) for scenes past
+    # the single-table VMEM limit; when set, nodes/child_index above hold
+    # the MERGED global BVH2 (top-level tree over chunk roots) so every
+    # non-streaming backend keeps working on the same scene
+    chunks: Optional[ChunkSet] = None
 
 
 class Scene(NamedTuple):
