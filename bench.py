@@ -29,6 +29,9 @@ def main() -> None:
         width, height, tris, frames = 256, 144, 20000, 2
     else:
         width, height, tris, frames = 1920, 1080, 262144, 10
+    # scene-size override, e.g. VRT_BENCH_TRIS=1048576 exercises the
+    # HBM-streaming chunked path (accel.chunks) at Sponza-plus scale
+    tris = int(os.environ.get("VRT_BENCH_TRIS", tris))
 
     cfg = Config(
         width=width,

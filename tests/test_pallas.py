@@ -82,3 +82,38 @@ def test_pallas_cornell_and_dead_lanes(kernel):
     brute = intersect.intersect_closest_brute(geom, o, d, tmin, tmax)
     fast = KERNELS[kernel].intersect_closest(geom, bvh, o, d, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(brute.is_hit), np.asarray(fast.is_hit))
+
+
+@pytest.mark.parametrize("cull", [True, False])
+def test_woop_leaf_variant_matches_brute(cull):
+    """The plane-based leaf test (traverse_wide8 woop=True) agrees with the
+    MT brute-force oracle up to f32 arithmetic: same hit set, t within
+    tolerance (plane and MT formulations differ in ULPs, so exact equality
+    is not expected — unlike the default MT leaf path)."""
+    scene = triangle_soup_scene(960, seed=3)
+    geom, bvh = lbvh.build_bvh(scene.geometry)
+    bvh = traverse_wide8._with_bvh8(bvh)
+    o, d, tmin, tmax = _rays(300, extent=11.0, seed=4)
+
+    table, nr = traverse_wide8._unified_table8(bvh, woop=True)
+    fast = traverse_wide8._traverse_wide8_packed(
+        table, nr, bvh.tris, o, d, tmin, tmax,
+        cull_backface=cull, any_hit=False, interpret=True, woop=True,
+    )
+    brute = intersect.intersect_closest_brute(
+        geom, o, d, tmin, tmax, cull_backface=cull
+    )
+    np.testing.assert_array_equal(
+        np.asarray(brute.is_hit), np.asarray(fast.is_hit)
+    )
+    hits = np.asarray(brute.is_hit)
+    np.testing.assert_allclose(
+        np.asarray(brute.t)[hits], np.asarray(fast.t)[hits],
+        rtol=1e-4, atol=1e-5,
+    )
+    u, v = np.asarray(fast.u)[hits], np.asarray(fast.v)[hits]
+    assert (u >= -1e-3).all() and (v >= -1e-3).all()
+    assert (u + v <= 1.0 + 1e-3).all()
+    np.testing.assert_array_equal(
+        np.asarray(brute.backface)[hits], np.asarray(fast.backface)[hits]
+    )
