@@ -94,6 +94,12 @@ def _render(scene, cfg, spp):
 def main() -> int:
     small = bool(os.environ.get("VRT_PARITY_SMALL"))
     size, spp = (64, 8) if small else (512, 1024)
+    if small or os.environ.get("VRT_PARITY_CPU"):
+        # the site hook forces jax_platforms="axon,cpu" via config, which
+        # beats the env var — the smoke run must not touch the TPU relay
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from vulkanraytracing_tpu.accel import build_scene_bvh
     from vulkanraytracing_tpu.app.image_io import rmse, write_png

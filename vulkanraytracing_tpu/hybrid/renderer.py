@@ -150,8 +150,18 @@ def _render_hybrid_impl(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
     nov = jnp.maximum(math3d.dot(n, v), 0.0)
     shadow_origin = position + n * BIAS
 
-    # --- point lights (Lighting.comp:100-140) ---
-    point_lighting = jnp.zeros((r, 3), f32)
+    # --- shadow rays: ALL sets (sun + L point lights) ride ONE any-hit
+    # traversal, the same concatenation the integrator uses for its NEE
+    # sets — program size and traversal count stay flat in light count
+    # instead of unrolling one trace per light (Lighting.comp dispatches
+    # per pixel and loops lights on the GPU; one batched trace is the
+    # wavefront equivalent) ---
+    sun_l = math3d.normalize(-scene.direct_light.direction[:3])
+    sun_l_b = jnp.broadcast_to(sun_l, (r, 3))
+    shadow_dirs = [sun_l_b]
+    shadow_tmax = [jnp.where(hit.is_hit, f32(RAY_MAX_T), f32(0.0))]
+
+    per_light = []  # (l, attenuation, lcol, irr) for the shading loop
     if scene.has_point_lights:
         lights = scene.point_lights
         for i in range(lights.count):
@@ -164,27 +174,35 @@ def _render_hybrid_impl(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
             irr = attenuation * jnp.maximum(math3d.dot(n, l), 0.0) * math3d.luminance(
                 jnp.broadcast_to(lcol, (r, 3))
             )
-            occluded = trace.trace_any(
-                scene, cfg, shadow_origin, l,
-                jnp.full((r,), RAY_MIN_T, f32),
-                jnp.where(hit.is_hit & (irr > EPSILON), jnp.sqrt(dist_sq), 0.0),
-            )
-            brdf, nol = _direct_term(surface, n, v, l, nov, f0, metallic, albedo)
-            lighting = (
-                nol[:, None] * lcol * (~occluded)[:, None] * attenuation[:, None]
-            )
-            point_lighting += jnp.where(
-                (irr > EPSILON)[:, None], brdf * lighting, 0.0
+            per_light.append((l, attenuation, lcol, irr))
+            shadow_dirs.append(l)
+            shadow_tmax.append(
+                jnp.where(hit.is_hit & (irr > EPSILON), jnp.sqrt(dist_sq), 0.0)
             )
 
+    sets = len(shadow_dirs)
+    occ = trace.trace_any(
+        scene, cfg,
+        jnp.tile(shadow_origin, (sets, 1)),
+        jnp.concatenate(shadow_dirs, axis=0),
+        jnp.full((sets * r,), RAY_MIN_T, f32),
+        jnp.concatenate(shadow_tmax, axis=0),
+    ).reshape(sets, r)
+
+    # --- point lights (Lighting.comp:100-140) ---
+    point_lighting = jnp.zeros((r, 3), f32)
+    for i, (l, attenuation, lcol, irr) in enumerate(per_light):
+        occluded = occ[1 + i]
+        brdf, nol = _direct_term(surface, n, v, l, nov, f0, metallic, albedo)
+        lighting = (
+            nol[:, None] * lcol * (~occluded)[:, None] * attenuation[:, None]
+        )
+        point_lighting += jnp.where(
+            (irr > EPSILON)[:, None], brdf * lighting, 0.0
+        )
+
     # --- sun (Lighting.comp:142-176) ---
-    sun_l = math3d.normalize(-scene.direct_light.direction[:3])
-    sun_l_b = jnp.broadcast_to(sun_l, (r, 3))
-    sun_occluded = trace.trace_any(
-        scene, cfg, shadow_origin, sun_l_b,
-        jnp.full((r,), RAY_MIN_T, f32),
-        jnp.where(hit.is_hit, f32(RAY_MAX_T), f32(0.0)),
-    )
+    sun_occluded = occ[0]
     brdf, nol = _direct_term(surface, n, v, sun_l_b, nov, f0, metallic, albedo)
     direct_lighting = (
         brdf
