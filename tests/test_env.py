@@ -114,3 +114,32 @@ def test_hdr_roundtrip(tmp_path):
     # exponent): error <= max/256 plus encode truncation
     tol = img.max(axis=-1, keepdims=True) / 128.0 + 1e-3
     assert np.all(np.abs(back - img) <= tol)
+
+
+def test_equirect_and_cube_sampling_agree():
+    """VERDICT weak item: the PT path samples the equirect panorama
+    directly while IBL consumes the converted cube — the two pipelines
+    must agree on the same directions (a smooth panorama bounds the cube
+    resample error; tolerance covers bilinear-vs-facet differences)."""
+    h = 64
+    y = np.linspace(0, np.pi, h, endpoint=False)[:, None]
+    x = np.linspace(0, 2 * np.pi, 2 * h, endpoint=False)[None, :]
+    pano = np.stack(
+        [
+            0.5 + 0.4 * np.sin(y) * np.cos(x),
+            0.5 + 0.3 * np.cos(y) + 0 * x,
+            0.5 + 0.2 * np.sin(x) * np.sin(y),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    env = Environment(panorama=jnp.asarray(pano))
+    cube = panorama_to_cube(env, 64)
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+
+    a = np.asarray(sample_environment(env, d))
+    b = np.asarray(sample_cube(cube, d))
+    np.testing.assert_allclose(a, b, atol=0.02)
