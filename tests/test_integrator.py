@@ -145,12 +145,17 @@ def test_backends_render_identically(mode):
         position=(0.0, 0.0, 3.2), aspect_ratio=1.0, x_fov=float(np.radians(60.0))
     )
     scene = cornell_box_scene()
-    cfg_b = _cfg(camera=cam_cfg, traversal=TraversalMode.BRUTE_FORCE)
+    # 2 bounces: backend identity is bounce-invariant, and the Pallas
+    # interpret-mode runtime scales with traversal count
+    cfg_b = _cfg(
+        camera=cam_cfg, traversal=TraversalMode.BRUTE_FORCE,
+        max_bounce_count=2,
+    )
     cam = Camera(cam_cfg).to_device()
     st_brute, _ = render_frame(scene, cfg_b, cam, create_render_state(cfg_b))
 
     scene_bvh = build_scene_bvh(scene)
-    cfg_v = _cfg(camera=cam_cfg, traversal=mode)
+    cfg_v = _cfg(camera=cam_cfg, traversal=mode, max_bounce_count=2)
     st_bvh, _ = render_frame(scene_bvh, cfg_v, cam, create_render_state(cfg_v))
 
     a = np.asarray(st_brute.accumulation)
