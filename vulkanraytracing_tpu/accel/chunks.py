@@ -194,7 +194,11 @@ def build_scene_bvh_chunked(
         nr_max = max(m for _, m in raw)
         tr_max = max(tab.shape[0] - m - 1 for tab, m in raw)
         lanes = raw[0][0].shape[1]
-        stacked = np.zeros((k, nr_max + 1 + tr_max, lanes), np.int32)
+        # Mosaic requires VMEM block rows divisible by 8: the kernel's chunk
+        # BlockSpec is (rows_per_chunk, 128), so pad the common layout up
+        # (trailing zero rows are never addressed)
+        rows = -(-(nr_max + 1 + tr_max) // 8) * 8
+        stacked = np.zeros((k, rows, lanes), np.int32)
         for i, (tab, m) in enumerate(raw):
             stacked[i, :m] = tab[:m]                      # node records
             stacked[i, nr_max] = tab[m]                   # sentinel row
