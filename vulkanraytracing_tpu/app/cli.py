@@ -21,10 +21,10 @@ def _attach_environment(scene, args):
 
         from vulkanraytracing_tpu.app.hdr import read_hdr
         from vulkanraytracing_tpu.env.sun import extract_direct_light
-        from vulkanraytracing_tpu.scene.types import Environment
+        from vulkanraytracing_tpu.scene.types import make_environment
 
         pano = jnp.asarray(read_hdr(args.env))
-        env = Environment(panorama=pano)
+        env = make_environment(pano)
         scene = scene._replace(
             environment=env, direct_light=extract_direct_light(pano)
         )

@@ -56,8 +56,28 @@ def sample_bilinear_wrap(image: Array, uv: Array) -> Array:
 
 
 def sample_environment(env: Environment, direction: Array) -> Array:
-    """Radiance arriving from ``direction`` (the RayGen.rgen:364 miss lookup)."""
-    return sample_bilinear_wrap(env.panorama, panorama_uv(direction))
+    """Radiance arriving from ``direction`` (the RayGen.rgen:364 miss lookup).
+
+    Identical math to :func:`sample_bilinear_wrap`; when ``env.quad`` is
+    present the four footprint texels ride one gather."""
+    if env.quad is None:
+        return sample_bilinear_wrap(env.panorama, panorama_uv(direction))
+    h, w = env.panorama.shape[0], env.panorama.shape[1]
+    uv = panorama_uv(direction)
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    rec = env.quad.reshape(h * w, 12)[y0i * w + x0i]
+    c00, c10, c01, c11 = (rec[..., 0:3], rec[..., 3:6],
+                          rec[..., 6:9], rec[..., 9:12])
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
 
 
 # --- cube-face direction tables (Constants.glsl:23-48, Compute.glsl:17-26) ---

@@ -128,6 +128,11 @@ class Environment(NamedTuple):
     irradiance: Optional[jnp.ndarray] = None   # (6, S, S, 3)
     reflection: Optional[tuple] = None         # tuple of (6, s, s, 3) mips
     brdf_lut: Optional[jnp.ndarray] = None     # (S, S, 2) scale/offset
+    # precomputed 2x2 bilinear footprint [c00|c10|c01|c11] per texel
+    # (env.panorama.build_quad_table): the per-bounce miss lookup then
+    # costs ONE row-gather instead of four (XLA:TPU gather cost is per
+    # index; columns are nearly free — see ops.intersect gather economy)
+    quad: Optional[jnp.ndarray] = None         # (H, W, 12) f32
 
 
 @jax.tree_util.register_pytree_node_class
@@ -349,15 +354,31 @@ def make_materials(
     )
 
 
+def build_quad_table(image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 12) table of each texel's 2x2 bilinear footprint
+    [c00 | c10 | c01 | c11] with the sampler's address modes baked in
+    (wrap in u, clamp in v) — lets env.panorama.sample_environment fetch
+    the whole footprint with ONE row-gather instead of four."""
+    right = jnp.roll(image, -1, axis=1)                       # wrap u
+    down = jnp.concatenate([image[1:], image[-1:]], axis=0)   # clamp v
+    diag = jnp.roll(down, -1, axis=1)
+    return jnp.concatenate([image, right, down, diag], axis=-1)
+
+
+def make_environment(panorama: jnp.ndarray) -> Environment:
+    """Environment with the bilinear quad table precomputed."""
+    return Environment(panorama=panorama, quad=build_quad_table(panorama))
+
+
 def black_environment(size: int = 8) -> Environment:
-    return Environment(panorama=jnp.zeros((size, size * 2, 3), jnp.float32))
+    return make_environment(jnp.zeros((size, size * 2, 3), jnp.float32))
 
 
 def constant_environment(color, size: int = 8) -> Environment:
     pano = jnp.broadcast_to(
         jnp.asarray(color, jnp.float32), (size, size * 2, 3)
-    )
-    return Environment(panorama=pano)
+    ).astype(jnp.float32)
+    return make_environment(pano)
 
 
 def no_direct_light() -> DirectLight:
