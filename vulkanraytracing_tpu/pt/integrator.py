@@ -240,13 +240,20 @@ def pathtrace(
         wo = math3d.normalize(math3d.world_to_tangent(-d, tbn))
         shadow_origin = p + n_shading * BIAS
 
-        # --- point-light + sun NEE (:258-312, :376-378) ---
-        # Both visibility ray sets go through ONE traversal call per bounce
-        # (concatenated; each set stays contiguous so its wave packets keep
-        # their own coherence).  No reorder: from bounce 1 on the whole
-        # wavefront already rides the per-bounce sorted order, see below.
+        # --- point-light + sun NEE setup (:258-312, :376-378) ---
+        # The visibility RAYS are built here but traced AFTER the
+        # per-bounce wavefront sort below: shadow origins are THIS
+        # bounce's hit points, which the pre-sort wavefront scatters
+        # across the scene (the previous structure traced them in the
+        # stale order at ~3 Mrays/s vs ~25 for sorted origins — the
+        # single largest frame cost, tmp/perf_shadow.py).  Unshadowed
+        # contributions are computed NOW (pre-BSDF-update throughput/pdf,
+        # reference RNG stream order :216-256) and ride the same one-hot
+        # permutation; occlusion only gates them after the trace.
         sun_d = jnp.broadcast_to(sun_dir, (R, 3))
-        sun_tmax = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
+        # pre-RR aliveness gates the visibility rays and contributions
+        # (the reference traces/accumulates NEE before the RR draw)
+        sh_tmax_sun = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
         if scene.has_point_lights:
             lights = scene.point_lights
             onehot, _idx, light_pdf, s0, s1 = sample_point_light(
@@ -264,39 +271,24 @@ def pathtrace(
             ldir = math3d.normalize(delta)
             wi_l = math3d.world_to_tangent(ldir, tbn)
             wh_l = math3d.normalize(wo + wi_l)
-            occ = trace.trace_any(
-                scene, cfg,
-                jnp.concatenate([shadow_origin, shadow_origin]),
-                jnp.concatenate([ldir, sun_d]),
-                jnp.full((2 * R,), RAY_MIN_T, f32),
-                jnp.concatenate(
-                    [jnp.where(alive, jnp.sqrt(dist_sq), 0.0), sun_tmax]
-                ),
-            )
-            occluded, sun_occluded = occ[:R], occ[R:]
-            rays_cast += 2.0 * jnp.sum(alive.astype(f32))
             pl_bsdf = bsdf_mod.evaluate_bsdf(surface, wo, wi_l, wh_l)
-            contrib = (
+            pl_contrib = (
                 pl_bsdf
                 * math3d.cos_theta_tangent(wi_l)[:, None]
                 * lcol
                 * (attenuation / jnp.maximum(light_pdf, 1e-20))[:, None]
             )
-            contrib = jnp.where((alive & ~occluded)[:, None], contrib, 0.0)
-            irradiance += contrib * throughput / ray_pdf[:, None]
-        else:
-            sun_occluded = trace.trace_any(
-                scene, cfg, shadow_origin, sun_d,
-                jnp.full((R,), RAY_MIN_T, f32),
-                sun_tmax,
+            pl_contrib = jnp.where(
+                alive[:, None], pl_contrib * throughput / ray_pdf[:, None], 0.0
             )
-            rays_cast += jnp.sum(alive.astype(f32))
+            sh_tmax_pl = jnp.where(alive, jnp.sqrt(dist_sq), 0.0)
         wi_s = math3d.world_to_tangent(sun_d, tbn)
         wh_s = math3d.normalize(wo + wi_s)
         sun_bsdf = bsdf_mod.evaluate_bsdf(surface, wo, wi_s, wh_s)
         sun_contrib = sun_bsdf * math3d.cos_theta_tangent(wi_s)[:, None] * sun_color
-        sun_contrib = jnp.where((alive & ~sun_occluded)[:, None], sun_contrib, 0.0)
-        irradiance += sun_contrib * throughput / ray_pdf[:, None]
+        sun_contrib = jnp.where(
+            alive[:, None], sun_contrib * throughput / ray_pdf[:, None], 0.0
+        )
 
         # --- BSDF sample (:380-391) ---
         b, wi, pdf, s0, s1 = bsdf_mod.sample_bsdf(surface, wo, s0, s1)
@@ -319,29 +311,71 @@ def pathtrace(
             )
 
         # --- next segment (:403-409) ---
-        if bounce + 1 < cfg.max_bounce_count:
-            o = p
-            d = math3d.tangent_to_world(wi, tbn)
-            t_min = jnp.full((R,), RAY_MIN_T, f32)
-            # dead rays get a zero-length window so traversal exits immediately
-            t_max = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
+        o = p
+        d = math3d.tangent_to_world(wi, tbn)
+        t_min = jnp.full((R,), RAY_MIN_T, f32)
+        # dead rays get a zero-length window so traversal exits immediately
+        t_max = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
 
-            # ONE wavefront reorder per bounce: permute the ENTIRE live
-            # state into (coarse-position, direction-bin) order — segment-
-            # local element sort + global row regroup — and stay there; the
-            # shadow/NEE traces of the next bounce ride the same order.
-            # Gather-free: all-pairs ranks + one-hot MXU matmul over all
-            # state columns at once plus one row-level gather (ops.reorder).
-            if scene.bvh is not None and cfg.traversal != TraversalMode.BRUTE_FORCE:
-                lo, hi = trace._root_bounds(scene.bvh)
-                order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
+        # ONE wavefront reorder per bounce: permute the ENTIRE live state
+        # (including this bounce's shadow rays + unshadowed contributions)
+        # into (coarse-position, direction-bin) order — segment-local
+        # element sort + global row regroup.  Gather-free: all-pairs ranks
+        # + one-hot MXU matmul over all state columns at once plus one
+        # row-level gather (ops.reorder); extra columns are nearly free.
+        # The LAST bounce sorts too (no next closest trace, but its shadow
+        # set still gains ~4x; the final color restore walks this order).
+        do_sort = (
+            scene.bvh is not None
+            and cfg.traversal != TraversalMode.BRUTE_FORCE
+        )
+        if do_sort:
+            lo, hi = trace._root_bounds(scene.bvh)
+            order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
+            if scene.has_point_lights:
                 (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
-                 s0, s1, alive, valid) = reorder_mod.apply_order(
+                 s0, s1, alive, valid, shadow_origin, sh_tmax_sun,
+                 sun_contrib, ldir, sh_tmax_pl,
+                 pl_contrib) = reorder_mod.apply_order(
                     order, o, d, t_min, t_max, irradiance, throughput,
-                    ray_pdf, s0, s1, alive, valid,
+                    ray_pdf, s0, s1, alive, valid, shadow_origin,
+                    sh_tmax_sun, sun_contrib, ldir, sh_tmax_pl, pl_contrib,
                 )
-                orders.append(order)
+            else:
+                (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
+                 s0, s1, alive, valid, shadow_origin, sh_tmax_sun,
+                 sun_contrib) = reorder_mod.apply_order(
+                    order, o, d, t_min, t_max, irradiance, throughput,
+                    ray_pdf, s0, s1, alive, valid, shadow_origin,
+                    sh_tmax_sun, sun_contrib,
+                )
+            orders.append(order)
 
+        # --- NEE visibility traces (sorted origins) + accumulate ---
+        # Both sets ride ONE traversal call (concatenated; each set stays
+        # contiguous so its wave packets keep their own coherence).
+        nee_alive = sh_tmax_sun > 0.0  # pre-RR aliveness, post-permute
+        if scene.has_point_lights:
+            occ = trace.trace_any(
+                scene, cfg,
+                jnp.concatenate([shadow_origin, shadow_origin]),
+                jnp.concatenate([ldir, sun_d]),
+                jnp.full((2 * R,), RAY_MIN_T, f32),
+                jnp.concatenate([sh_tmax_pl, sh_tmax_sun]),
+            )
+            occluded, sun_occluded = occ[:R], occ[R:]
+            rays_cast += 2.0 * jnp.sum(nee_alive.astype(f32))
+            irradiance += jnp.where(occluded[:, None], 0.0, pl_contrib)
+        else:
+            sun_occluded = trace.trace_any(
+                scene, cfg, shadow_origin, sun_d,
+                jnp.full((R,), RAY_MIN_T, f32),
+                sh_tmax_sun,
+            )
+            rays_cast += jnp.sum(nee_alive.astype(f32))
+        irradiance += jnp.where(sun_occluded[:, None], 0.0, sun_contrib)
+
+        if bounce + 1 < cfg.max_bounce_count:
             hit = trace.trace_closest(
                 scene, cfg, o, d, t_min, t_max, cull_backface=True,
             )
