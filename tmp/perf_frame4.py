@@ -43,9 +43,9 @@ o, d = primary_rays(camera, px, py, W, H, s0, s1)
 t_min = jnp.full((R,), camera.z_near, f32)
 t_max = jnp.where(valid, camera.z_far, 0.0)
 
-closest = hot_jit(lambda o, d, a, b: trace.trace_closest(
-    scene, cfg, o, d, a, b, cull_backface=True))
-anyh = hot_jit(lambda o, d, a, b: trace.trace_any(scene, cfg, o, d, a, b))
+closest = lambda o, d, a, b: trace.trace_closest(  # noqa: E731
+    scene, cfg, o, d, a, b, cull_backface=True)
+anyh = lambda o, d, a, b: trace.trace_any(scene, cfg, o, d, a, b)  # noqa: E731
 
 total = 0.0
 
@@ -103,9 +103,12 @@ for bounce in range(cfg.max_bounce_count):
     t_min = jnp.full((R,), RAY_MIN_T, f32)
     t_max = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
 
-    order = stage(f"{tag} make_order",
-                  lambda o2, d2, a2, b2: reorder.make_order(
-                      o2, d2, a2, b2, lo, hi), o, d, t_min, t_max)
+    stage(f"{tag} make_order",
+          lambda o2, d2, a2, b2: reorder.make_order(
+              o2, d2, a2, b2, lo, hi), o, d, t_min, t_max)
+    order = reorder.make_order(o, d, t_min, t_max, lo, hi)
+    order = jax.tree.map(
+        lambda x: x if isinstance(x, int) else jax.block_until_ready(x), order)
     out = stage(f"{tag} apply_order x11",
                 lambda *a: reorder.apply_order(order, *a),
                 o, d, t_min, t_max, p, wo[:, :2], s0, s1, alive, valid)

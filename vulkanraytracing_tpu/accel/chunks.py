@@ -211,6 +211,8 @@ def build_scene_bvh_chunked(
             f"({stacked.nbytes / 1e6:.1f} MB), node rows {nr_max}"
         )
 
+    from vulkanraytracing_tpu.accel.lbvh import probe_cut
+
     bvh = BVH(
         nodes=nodes,
         child_index=child_index,
@@ -218,5 +220,6 @@ def build_scene_bvh_chunked(
         tri_flags=tri_flags,
         tri_order=tri_order,
         chunks=chunks,
+        probe=probe_cut(nodes, child_index),
     )
     return scene._replace(geometry=merged_geom, bvh=bvh)

@@ -328,6 +328,44 @@ def pad_nodes(nodes: Array, child_index: Array, num_tris: int):
 _DONE_PAD = -1  # leaf code decoding to (start 0, count 0): never matches
 
 
+def probe_cut(nodes, child_index, cap: int = 64):
+    """Adaptive upper-tree cut of ~``cap`` child AABBs (host-side numpy).
+
+    Greedy largest-area-first expansion (same rule as the BVH8 collapse):
+    the resulting box set approximates the tree's top levels with detail
+    where the tree is spatially large.  ops.reorder counts, per 128-ray
+    traversal row, how many of these boxes any lane enters — a cheap
+    predictor of the row's union traversal cost, used to fill waves with
+    similar-cost rows (stragglers gate each wave's trip count)."""
+    import numpy as np
+
+    nodes = np.asarray(nodes)
+    child_index = np.asarray(child_index)
+
+    def area(b):
+        d = np.maximum(b[3:6] - b[0:3], 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    # entries: (area, box(6), child_code)
+    entries = [
+        (area(nodes[0, 6 * i : 6 * i + 6]), nodes[0, 6 * i : 6 * i + 6],
+         int(child_index[0, i]))
+        for i in range(2)
+    ]
+    while len(entries) < cap:
+        best, best_a = -1, -1.0
+        for i, (a, _b, c) in enumerate(entries):
+            if c >= 0 and a > best_a:
+                best, best_a = i, a
+        if best < 0:
+            break
+        _a, _b, n = entries.pop(best)
+        for i in range(2):
+            box = nodes[n, 6 * i : 6 * i + 6]
+            entries.append((area(box), box, int(child_index[n, i])))
+    return jnp.asarray(np.stack([b for _a, b, _c in entries]))
+
+
 def build_scene_bvh(
     scene: Scene,
     leaf_size: int = LEAF_SIZE,
@@ -371,4 +409,6 @@ def build_scene_bvh(
     from vulkanraytracing_tpu.accel.bvh8 import collapse_bvh8
 
     bvh = collapse_bvh8(bvh)  # host-side; no-op under trace
+    if host_built and bvh.probe is None:
+        bvh = bvh._replace(probe=probe_cut(bvh.nodes, bvh.child_index))
     return scene._replace(geometry=geometry, bvh=bvh)

@@ -205,7 +205,9 @@ def trace_closest(
     backend = _closest_backend(mode)
     if reorder:
         lo, hi = _root_bounds(scene.bvh)
-        order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
+        order = reorder_mod.make_order(
+            o, d, t_min, t_max, lo, hi, probe=scene.bvh.probe
+        )
         o, d, t_min, t_max = reorder_mod.apply_order(order, o, d, t_min, t_max)
     hit = backend(
         scene.geometry, scene.bvh, o, d, t_min, t_max,
@@ -254,7 +256,9 @@ def trace_any(
     backend = _any_backend(mode)
     if reorder:
         lo, hi = _root_bounds(scene.bvh)
-        order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
+        order = reorder_mod.make_order(
+            o, d, t_min, t_max, lo, hi, probe=scene.bvh.probe
+        )
         o, d, t_min, t_max = reorder_mod.apply_order(order, o, d, t_min, t_max)
     blocked = backend(scene.geometry, scene.bvh, o, d, t_min, t_max)
     if reorder:

@@ -15,7 +15,10 @@ interior nodes are the 8-wide collapse from accel.bvh8:
   lane-replicated (W, 128) values, the nearest hit is descended and the
   rest pushed far-to-near.  Without ordering, leaf visits measured 3x
   higher (far leaves tested before best-t tightens) and the whole BVH8
-  win evaporated.  Any-hit skips the sort (order is irrelevant).
+  win evaporated.  Any-hit uses the same near ordering (``any_order``):
+  order does not affect correctness there, but near-first descent finds
+  occluders sooner and rows exit earlier — measured 1.10-1.22x on the
+  bounce NEE shadow sets (tmp/ab_anyhit.py).
 
 Leaf encoding, triangle records and the leaf pipeline are shared unchanged
 with the 2-wide kernel.  The reference counterpart is still the
@@ -162,6 +165,7 @@ def _kernel(
     W: int,
     chunked: bool = False,
     woop: bool = False,
+    any_order: bool = False,
 ):
     """``chunked=True`` compiles the HBM-streaming variant: the grid is
     (n_waves, K) and grid step (w, k) traverses chunk k's BVH8 table (the
@@ -258,7 +262,7 @@ def _kernel(
             # slot 7 holds the nearest child, which is descended directly.
             # Without this ordering, leaf visits measured 3x higher on
             # Sponza-class scenes (far leaves tested before best-t tightens).
-            if not any_hit:
+            if (not any_hit) or any_order:
                 net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
                        (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
                        (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
@@ -538,6 +542,7 @@ def _traverse_wide8_packed(
     return_counters: bool = False,
     n_chunks: int = 1,
     woop: bool = False,
+    any_order: bool = False,
 ):
     r_orig = o.shape[0]
     # interpret mode pays per-row python cost; keep the resident set small
@@ -598,7 +603,8 @@ def _traverse_wide8_packed(
 
     call = pl.pallas_call(
         _kernel(
-            cull_backface, any_hit, nr_rows, W, chunked=chunked, woop=woop
+            cull_backface, any_hit, nr_rows, W, chunked=chunked, woop=woop,
+            any_order=any_order,
         ),
         grid=grid,
         in_specs=[tab_spec] + [wave_spec() for _ in range(8)],
@@ -642,7 +648,7 @@ _traverse_wide8_jitted = hot_jit(
     _traverse_wide8_packed,
     static_argnames=(
         "nr_rows", "cull_backface", "any_hit", "interpret",
-        "return_counters", "n_chunks", "woop",
+        "return_counters", "n_chunks", "woop", "any_order",
     ),
 )
 
@@ -723,5 +729,6 @@ def intersect_any(
         o, d, t_min, t_max,
         cull_backface=False, any_hit=True,
         interpret=_use_interpret(), n_chunks=k, woop=woop,
+        any_order=True,
     )
     return hit.t < _BIG_T

@@ -331,7 +331,9 @@ def pathtrace(
         )
         if do_sort:
             lo, hi = trace._root_bounds(scene.bvh)
-            order = reorder_mod.make_order(o, d, t_min, t_max, lo, hi)
+            order = reorder_mod.make_order(
+                o, d, t_min, t_max, lo, hi, probe=scene.bvh.probe
+            )
             if scene.has_point_lights:
                 (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
                  s0, s1, alive, valid, shadow_origin, sh_tmax_sun,

@@ -191,6 +191,13 @@ class BVH(NamedTuple):
     # would accept for every ray (see accel/bvh8.py module docstring).
     nodes8: Optional[jnp.ndarray] = None  # (M, 48) f32 — 8x (lo3, hi3)
     child8: Optional[jnp.ndarray] = None  # (M, 8) i32
+    # adaptive upper-tree box cut (accel.lbvh.probe_cut) used by
+    # ops.reorder to PREDICT per-row traversal cost (union breadth over
+    # these boxes) and fill traversal waves with similar-cost rows —
+    # measured 1.24x on sorted bounce traversal (occupancy 41% -> 51%).
+    # Perf-only: a stale probe (e.g. after refit) costs speed, never
+    # correctness.
+    probe: Optional[jnp.ndarray] = None   # (N, 6) f32 lo/hi
     # optional HBM-streaming chunk tables (accel.chunks) for scenes past
     # the single-table VMEM limit; when set, nodes/child_index above hold
     # the MERGED global BVH2 (top-level tree over chunk roots) so every
