@@ -87,7 +87,8 @@ def test_make_order_compacts_dead_and_orders_rows():
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
         jnp.asarray(t_max), lo, hi,
     )
-    assert order.row_perm is not None
+    # whole-row wavefronts get the TRUE global sort
+    assert isinstance(order, reorder.GlobalOrder)
     keys = np.asarray(
         reorder.ray_sort_keys(
             jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
@@ -96,31 +97,28 @@ def test_make_order_compacts_dead_and_orders_rows():
     )
     (keys_s,) = reorder.apply_order(order, jnp.asarray(keys))
     (tmax_s,) = reorder.apply_order(order, jnp.asarray(t_max))
-    keys_s = np.asarray(keys_s).reshape(-1, 128)
-    tmax_s = np.asarray(tmax_s).reshape(-1, 128)
-    # rows are sub-blocks of sorted segments: keys ascend within every row
-    assert (np.diff(keys_s.astype(np.int64), axis=1) >= 0).all()
-    # the row-global pass orders rows by their first (smallest) key
-    row_key = keys_s[:, 0].astype(np.int64)
-    assert (np.diff(row_key) >= 0).all()
-    # fully-dead rows (dead bit = MSB) form a contiguous global tail
-    dead_row = (tmax_s == 0.0).all(axis=1)
-    if dead_row.any():
-        first = int(np.argmax(dead_row))
-        assert dead_row[first:].all()
-        # ...and there are dead rows to compact in this fixture
-        assert dead_row.sum() >= 1
+    keys_s = np.asarray(keys_s)
+    tmax_s = np.asarray(tmax_s)
+    # keys ascend globally (no probe given => pure key order)
+    assert (np.diff(keys_s.astype(np.int64)) >= 0).all()
+    # dead rays (dead bit = key MSB) form a contiguous global tail
+    dead = tmax_s == 0.0
+    if dead.any():
+        first = int(np.argmax(dead))
+        assert dead[first:].all()
+        assert dead.sum() >= 1
 
 
 def test_make_order_odd_sizes():
-    # n not divisible by SEG: falls back to a divisor
-    n = 768  # 3 * 256
+    # n not a whole number of 128-ray rows: SegOrder fallback
+    n = 832  # 6.5 rows
     rng = np.random.default_rng(4)
     o = jnp.asarray(rng.random((n, 3)).astype(np.float32))
     d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
     t = jnp.full((n,), 1e-3)
     tm = jnp.full((n,), 1e3)
     order = reorder.make_order(o, d, t, tm, jnp.zeros(3), jnp.ones(3))
+    assert isinstance(order, reorder.SegOrder)
     assert n % order.seg == 0
     (o2,) = reorder.apply_order(order, o)
     (o3,) = reorder.unapply_order(order, o2)

@@ -15,8 +15,8 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, "/root/repo/tmp")
 from tutil import timed
 
-ITERS = 2048
-OPS = 24  # chained ops per iteration
+ITERS = 256
+OPS = 96  # chained ops per iteration
 
 
 def make_kernel(dtype, cols):
@@ -38,24 +38,32 @@ def make_kernel(dtype, cols):
     return kernel
 
 
-def run(dtype, cols):
-    x = jnp.ones((64, cols), dtype)
+def make_run(dtype, cols):
     call = pl.pallas_call(
         make_kernel(dtype, cols),
         grid=(1,),
-        in_specs=[pl.BlockSpec((64, cols), lambda i: (0, 0),
+        in_specs=[pl.BlockSpec((256, cols), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((64, cols), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((256, cols), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((64, cols), dtype),
+        out_shape=jax.ShapeDtypeStruct((256, cols), dtype),
     )
-    return call(x)
+
+    def f(x):
+        return call(x)
+
+    return f, jnp.ones((256, cols), dtype)
 
 
-t32 = timed("f32  (64,128)", run, jnp.float32, 128)
-t16a = timed("bf16 (64,128)", run, jnp.bfloat16, 128)
-t16b = timed("bf16 (64,256)", run, jnp.bfloat16, 256)
-t32b = timed("f32  (64,256)", run, jnp.float32, 256)
-print(f"bf16(256)/f32(128): {t16b / t32:.2f}x  "
+for_args = [("f32  (256,512)", jnp.float32, 512),
+            ("bf16 (256,512)", jnp.bfloat16, 512),
+            ("bf16 (256,1024)", jnp.bfloat16, 1024),
+            ("f32  (256,1024)", jnp.float32, 1024)]
+ts = []
+for label, dt, c in for_args:
+    f, x = make_run(dt, c)
+    ts.append(timed(label, f, x))
+t32, t16a, t16b, t32b = ts
+print(f"bf16(2x)/f32(1x): {t16b / t32:.2f}x  "
       f"(1.0 => packed ALU, 2.0 => no packing)")
-print(f"f32(256)/f32(128):  {t32b / t32:.2f}x (sanity: ~2.0)")
+print(f"f32(2x)/f32(1x):  {t32b / t32:.2f}x (sanity: ~2.0)")

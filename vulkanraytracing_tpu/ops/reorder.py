@@ -75,6 +75,26 @@ class SegOrder(NamedTuple):
         return self.ranks.shape[0]
 
 
+class GlobalOrder(NamedTuple):
+    """TRUE global sort order, applied with one packed row-gather.
+
+    The round-2 segment machinery existed because separate per-column
+    gathers cost ~16 ms each — but an XLA:TPU row-gather of a packed
+    (R, C) table costs ~55-85 ms for ANY column count (cost is per
+    index; the same economy ops.intersect uses for attribute fetch).
+    One argsort (43 ms) + one packed gather therefore beats the
+    segment-local sort on BOTH cost and quality: counter-measured on
+    bounce-2 rays the global order traverses 2.8M visits / 328 ms vs
+    the segment order's 4.7M / 488 ms (tmp/ab_sortqual.py)."""
+
+    fwd: Array  # (R,) i32 — output slot i takes input element fwd[i]
+    inv: Array  # (R,) i32 — the inverse permutation
+
+    @property
+    def n(self) -> int:
+        return self.fwd.shape[0]
+
+
 def ray_sort_keys(
     o: Array, d: Array, t_min: Array, t_max: Array, root_lo: Array, root_hi: Array
 ) -> Array:
@@ -166,34 +186,44 @@ def make_order(
     root_hi: Array,
     seg: int = SEG,
     probe: Array | None = None,
-) -> SegOrder:
+) -> "GlobalOrder | SegOrder":
+    """Coherence order for a wavefront: a TRUE global sort (GlobalOrder)
+    when the wavefront is whole 128-ray rows, else the segment-local
+    fallback (SegOrder, odd sizes only)."""
     n = o.shape[0]
+    keys = ray_sort_keys(o, d, t_min, t_max, root_lo, root_hi)
+    if n % 128 == 0 and n > 128:
+        i32 = jnp.int32
+        perm = jnp.argsort(keys).astype(i32)  # stable
+        fwd = perm
+        if probe is not None:
+            # wave balancing: regroup whole rows by PREDICTED traversal
+            # cost (union breadth over the probe cut) — a wave's trip
+            # count is the max over its rows, so waves must hold rows of
+            # similar cost.  One small 8-column pre-gather feeds the
+            # probe; the row pass composes into the same final gather.
+            packed = jnp.concatenate(
+                [o, d, t_min[:, None], t_max[:, None]], axis=1
+            )[perm]
+            cost = probe_row_cost(
+                probe, packed[:, 0:3], packed[:, 3:6],
+                packed[:, 6], packed[:, 7],
+            )
+            row_perm = jnp.argsort(cost).astype(i32)
+            lane = jnp.arange(128, dtype=i32)[None, :]
+            comp = (row_perm[:, None] * 128 + lane).reshape(-1)
+            fwd = perm[comp]
+        # else: the sorted order is already globally key-grouped row-wise
+        inv = jnp.zeros((n,), i32).at[fwd].set(
+            jnp.arange(n, dtype=i32), unique_indices=True
+        )
+        return GlobalOrder(fwd=fwd, inv=inv)
+
     seg = min(seg, n)
     while n % seg:
         seg //= 2
-    keys = ray_sort_keys(o, d, t_min, t_max, root_lo, root_hi)
     ranks = seg_ranks(keys, seg)
-    row_perm = None
-    if n % 128 == 0 and seg % 128 == 0 and n > seg:
-        # Row-global pass: regroup whole 128-ray rows across the wavefront
-        # so each traversal WAVE fills with rows of similar cost (a wave's
-        # trip count is the max over its rows — stragglers gate it).
-        pre = SegOrder(ranks=ranks, seg=seg)
-        if probe is not None:
-            # regroup by PREDICTED cost (probe_row_cost on the segment-
-            # sorted rays); all-dead rows predict 0 and cluster together
-            os_, ds_, tmins, tmaxs = _permute(
-                pre, (o, d, t_min, t_max), False
-            )
-            cost = probe_row_cost(probe, os_, ds_, tmins, tmaxs)
-            row_perm = jnp.argsort(cost).astype(jnp.int32)
-        else:
-            # fallback: regroup by the row's smallest element key (similar
-            # key ~ similar cost), recovered with the one-hot transport
-            (sorted_keys,) = _permute(pre, (keys,), False)  # u32, exact
-            row_key = sorted_keys.reshape(-1, 128)[:, 0]
-            row_perm = jnp.argsort(row_key).astype(jnp.int32)
-    return SegOrder(ranks=ranks, seg=seg, row_perm=row_perm)
+    return SegOrder(ranks=ranks, seg=seg, row_perm=None)
 
 
 def _apply_columns(
@@ -291,16 +321,48 @@ def _permute(order: SegOrder, arrays, transpose: bool) -> tuple[Array, ...]:
     return tuple(res)
 
 
-def apply_order(order: SegOrder, *arrays: Array) -> tuple[Array, ...]:
-    """Permute arrays into segment-sorted order.
+def _gather_permute(idx: Array, arrays) -> tuple[Array, ...]:
+    """Move every column of every array with ONE packed row-gather:
+    bit-exact for f32/i32/u32 (bitcast transport) and bool (0/1 f32)."""
+    cols: list[Array] = []
+    specs: list[tuple] = []  # (dtype, ncomp)
+    for a in arrays:
+        k = a.shape[1] if a.ndim == 2 else 1
+        x = a if a.ndim == 2 else a[:, None]
+        if a.dtype == jnp.bool_:
+            x = x.astype(jnp.float32)
+        elif a.dtype != jnp.float32:
+            x = jax.lax.bitcast_convert_type(x, jnp.float32)
+        cols.append(x)
+        specs.append((a.dtype, k, a.ndim))
+    table = jnp.concatenate(cols, axis=1)
+    out = table[idx]  # the one gather
+    res: list[Array] = []
+    pos = 0
+    for dtype, k, ndim in specs:
+        x = out[:, pos : pos + k]
+        if dtype == jnp.bool_:
+            x = x != 0.0
+        elif dtype != jnp.float32:
+            x = jax.lax.bitcast_convert_type(x, dtype)
+        res.append(x[:, 0] if ndim == 1 else x)
+        pos += k
+    return tuple(res)
 
-    Accepts (R,) or (R, k) arrays of f32, bool, or 32-bit int dtype.  Int
-    columns ride the matmul as two exactly-representable f32 columns
-    (16-bit halves), so RNG seeds and pixel indices transport bit-exactly."""
+
+def apply_order(order, *arrays: Array) -> tuple[Array, ...]:
+    """Permute arrays into coherence order.
+
+    GlobalOrder: one packed row-gather (bit-exact for all dtypes).
+    SegOrder fallback: one-hot MXU transport (ints ride as two f32
+    halves), see _permute."""
+    if isinstance(order, GlobalOrder):
+        return _gather_permute(order.fwd, arrays)
     return _permute(order, arrays, transpose=False)
 
 
-def unapply_order(order: SegOrder, *arrays: Array) -> tuple[Array, ...]:
-    """Permute segment-sorted arrays back to original order (the transposed
-    one-hot contraction — no inverse permutation is materialized)."""
+def unapply_order(order, *arrays: Array) -> tuple[Array, ...]:
+    """Permute coherence-ordered arrays back to original order."""
+    if isinstance(order, GlobalOrder):
+        return _gather_permute(order.inv, arrays)
     return _permute(order, arrays, transpose=True)
