@@ -9,39 +9,32 @@ Reordering Techniques for Faster GPU Ray Tracing"), which on TPU doubles as
 *compaction*: dead rays sort to the segment tail, so their 128-lane rows
 exit the traversal loop immediately.
 
-TPU formulation (the round-2 redesign): a GLOBAL argsort + per-array gather
-costs ~330 ms per bounce at 2M rays — not because of the sort (43 ms) but
-because XLA:TPU elementwise gather runs at ~16 ms per (R,) column.  Since
-the traversal kernel only needs coherence WITHIN each 128-lane row, a
-segment-local sort is just as good, and within fixed segments both the sort
-and the permutation-apply become dense ops:
+TPU formulation (third design): ONE global argsort + ONE packed row-gather.
 
-- ``seg_ranks``: all-pairs key comparison per segment (VPU, no sort
-  primitive) gives each ray its destination slot — O(SEG) per ray of pure
-  vector compare+sum, ~35 ms at 2M rays;
-- ``apply``: one-hot(rank) @ payload batched matmul (MXU, HIGHEST
-  precision) moves ALL state columns at once, ~40 ms for 20 columns —
-  8x cheaper than the gather path, and exact (verified bit-exact for f32
-  and for uint32 split into 16-bit halves; see tests/test_reorder.py).
+- An XLA:TPU gather costs ~16 ms per SEPARATE (R,) column at 2M rays,
+  which made the naive global sort (~330 ms/bounce) unaffordable and
+  motivated the round-2 segment-local one-hot machinery (seg_ranks +
+  one-hot MXU matmuls, kept below as the odd-size fallback).
+- But a row-gather of a packed (R, C) table costs ~55-85 ms for ANY C
+  up to ~25 (cost is per index; columns are nearly free — the same
+  gather economy ops.intersect uses for attribute fetch).  So the TRUE
+  global sort is argsort (43 ms) + one packed gather, which is both
+  CHEAPER than the segment machinery and much better for traversal:
+  on bounce-2 wavefronts the segment order had degraded to near-useless
+  (within a 2048-ray window of an already-sorted-by-previous-bounce
+  order there is nothing left to regroup) — counter-measured 4.7M node
+  visits / 488 ms vs the global order's 2.8M / 328 ms
+  (tmp/ab_sortqual.py).
 
-Segments are SEG consecutive rays = SEG/128 adjacent traversal rows.
+On top of the element sort sits a row-granular WAVE-BALANCING pass:
+whole 128-ray rows are regrouped by PREDICTED traversal cost (union
+breadth over an upper-tree probe cut, probe_row_cost) so each wave
+holds rows of similar cost — a wave's trip count is the max over its
+rows.  Measured 1.24x / occupancy 41% -> 51% (tmp/ab_rowcost.py).
 
-On top of the segment-local element sort sits a ROW-GLOBAL pass: whole
-128-ray rows are regrouped across the entire wavefront by their first
-(smallest) key — a 16k-element argsort plus ONE row gather, ~35 ms for all
-state columns at 2M rays (row gathers move full 512B+ rows and run near
-HBM bandwidth, unlike element gathers).  Counter-instrumented A/Bs on the
-262k-tri bench scene (tmp/ab_counters.py) drove both designs:
-
-- element-global sort by (octant, morton): node visits 8.26M -> 5.1M,
-  bounce traversal 812 -> 594 ms;
-- the POSITION-MAJOR + DIRECTION-BIN key below: visits -> 2.79M and
-  513 ms even at element-global scope, the best of every key tried
-  (direction-major keys lose wave occupancy, pure octant keys leave 3x
-  visits on the table);
-- segment-local sorting ALONE gains nothing (828 vs 811 ms): rows must
-  also be regrouped globally so waves fill with similar rows — hence the
-  row pass.
+The POSITION-MAJOR + DIRECTION-BIN key below beat every alternative
+tried (direction-major keys lose wave occupancy, pure octant keys
+leave 3x visits on the table; tmp/ab_counters.py).
 """
 
 from __future__ import annotations
@@ -154,6 +147,35 @@ def seg_ranks(keys: Array, seg: int = SEG) -> Array:
     return jax.vmap(body)(k).reshape(-1)
 
 
+def probe_ray_mask(
+    probe: Array, o: Array, d: Array, t_min: Array, t_max: Array
+) -> tuple[Array, Array]:
+    """Per-ray entered-bit mask over the probe cut, packed into two u32
+    columns (probe N <= 64).  Computed BEFORE the sort so the bits can
+    ride the multi-operand ``lax.sort`` — no post-sort ray pregather."""
+    n_boxes = probe.shape[0]
+    assert n_boxes <= 64, n_boxes
+    tiny = 1e-30
+    inv = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+    tn = t_min[:, None]
+    tf = t_max[:, None]
+    for a in range(3):
+        lo = (probe[None, :, a] - o[:, a, None]) * inv[:, a, None]
+        hi = (probe[None, :, a + 3] - o[:, a, None]) * inv[:, a, None]
+        tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+        tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+    ent = (tn <= tf).astype(_U32)                    # (R, N)
+    k = min(n_boxes, 32)
+    bits = _U32(1) << jnp.arange(k, dtype=_U32)
+    mlo = jnp.sum(ent[:, :k] * bits[None, :], axis=1, dtype=_U32)
+    if n_boxes > 32:
+        bits_hi = _U32(1) << jnp.arange(n_boxes - 32, dtype=_U32)
+        mhi = jnp.sum(ent[:, 32:] * bits_hi[None, :], axis=1, dtype=_U32)
+    else:
+        mhi = jnp.zeros_like(mlo)
+    return mlo, mhi
+
+
 def probe_row_cost(
     probe: Array, o: Array, d: Array, t_min: Array, t_max: Array
 ) -> Array:
@@ -194,29 +216,38 @@ def make_order(
     keys = ray_sort_keys(o, d, t_min, t_max, root_lo, root_hi)
     if n % 128 == 0 and n > 128:
         i32 = jnp.int32
-        perm = jnp.argsort(keys).astype(i32)  # stable
-        fwd = perm
+        iota = jnp.arange(n, dtype=i32)
         if probe is not None:
             # wave balancing: regroup whole rows by PREDICTED traversal
             # cost (union breadth over the probe cut) — a wave's trip
             # count is the max over its rows, so waves must hold rows of
-            # similar cost.  One small 8-column pre-gather feeds the
-            # probe; the row pass composes into the same final gather.
-            packed = jnp.concatenate(
-                [o, d, t_min[:, None], t_max[:, None]], axis=1
-            )[perm]
-            cost = probe_row_cost(
-                probe, packed[:, 0:3], packed[:, 3:6],
-                packed[:, 6], packed[:, 7],
+            # similar cost.  The per-ray entered bits are computed
+            # pre-sort and ride the multi-operand sort, so no post-sort
+            # ray pregather is needed; the row pass composes into the
+            # same final gather.
+            mlo, mhi = probe_ray_mask(probe, o, d, t_min, t_max)
+            _, slo, shi, perm = jax.lax.sort(
+                (keys, mlo, mhi, iota), num_keys=1, is_stable=True
+            )
+            union = jax.lax.reduce(
+                slo.reshape(-1, 128), _U32(0), jax.lax.bitwise_or, (1,)
+            )
+            union_hi = jax.lax.reduce(
+                shi.reshape(-1, 128), _U32(0), jax.lax.bitwise_or, (1,)
+            )
+            cost = (
+                jax.lax.population_count(union)
+                + jax.lax.population_count(union_hi)
             )
             row_perm = jnp.argsort(cost).astype(i32)
-            lane = jnp.arange(128, dtype=i32)[None, :]
-            comp = (row_perm[:, None] * 128 + lane).reshape(-1)
-            fwd = perm[comp]
-        # else: the sorted order is already globally key-grouped row-wise
-        inv = jnp.zeros((n,), i32).at[fwd].set(
-            jnp.arange(n, dtype=i32), unique_indices=True
-        )
+            fwd = perm[
+                (row_perm[:, None] * 128
+                 + jnp.arange(128, dtype=i32)[None, :]).reshape(-1)
+            ]
+        else:
+            # the sorted order is already globally key-grouped row-wise
+            fwd = jnp.argsort(keys).astype(i32)  # stable
+        inv = jnp.zeros((n,), i32).at[fwd].set(iota, unique_indices=True)
         return GlobalOrder(fwd=fwd, inv=inv)
 
     seg = min(seg, n)

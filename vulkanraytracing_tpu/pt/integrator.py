@@ -193,10 +193,11 @@ def pathtrace(
     throughput = jnp.ones((R, 3), f32)
     ray_pdf = jnp.ones((R,), f32)
     alive = valid
-    # per-bounce reorders applied to the live state; the final pixel-order
-    # restore walks this list backwards (each inverse = one row scatter +
-    # one transposed one-hot matmul on the 3 color columns)
-    orders: list[reorder_mod.SegOrder] = []
+    # each ray's original slot rides the per-bounce permutations as one
+    # extra (free) gather column; the final pixel-order restore is then
+    # ONE scatter instead of an inverse-permutation chain
+    ray_slot = jnp.arange(R, dtype=jnp.int32)
+    sorted_any = False
 
     if scene.has_point_lights:
         pl_t, pl_color = intersect_point_light_spheres(
@@ -338,22 +339,22 @@ def pathtrace(
             )
             if scene.has_point_lights:
                 (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
-                 s0, s1, alive, valid, shadow_origin, sh_tmax_sun,
-                 sun_contrib, ldir, sh_tmax_pl,
+                 s0, s1, alive, valid, ray_slot, shadow_origin,
+                 sh_tmax_sun, sun_contrib, ldir, sh_tmax_pl,
                  pl_contrib) = reorder_mod.apply_order(
                     order, o, d, t_min, t_max, irradiance, throughput,
-                    ray_pdf, s0, s1, alive, valid, shadow_origin,
+                    ray_pdf, s0, s1, alive, valid, ray_slot, shadow_origin,
                     sh_tmax_sun, sun_contrib, ldir, sh_tmax_pl, pl_contrib,
                 )
             else:
                 (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
-                 s0, s1, alive, valid, shadow_origin, sh_tmax_sun,
-                 sun_contrib) = reorder_mod.apply_order(
+                 s0, s1, alive, valid, ray_slot, shadow_origin,
+                 sh_tmax_sun, sun_contrib) = reorder_mod.apply_order(
                     order, o, d, t_min, t_max, irradiance, throughput,
-                    ray_pdf, s0, s1, alive, valid, shadow_origin,
+                    ray_pdf, s0, s1, alive, valid, ray_slot, shadow_origin,
                     sh_tmax_sun, sun_contrib,
                 )
-            orders.append(order)
+            sorted_any = True
 
         # --- NEE visibility traces (sorted origins) + accumulate ---
         # Both sets ride ONE traversal call (concatenated; each set stays
@@ -389,8 +390,10 @@ def pathtrace(
         color = math3d.tone_mapping(irradiance)  # :412 — tone-map THEN accumulate
     else:
         color = irradiance  # linear-HDR mode: display applies the curve
-    for order in reversed(orders):
-        # restore pixel order by inverting each bounce's reorder in turn
-        # (3 color columns each — cheap relative to one full-state move)
-        (color,) = reorder_mod.unapply_order(order, color)
+    if sorted_any:
+        # restore pixel order with ONE scatter: ray_slot carried each
+        # ray's original index through every permutation
+        color = jnp.zeros_like(color).at[ray_slot].set(
+            color, unique_indices=True
+        )
     return color, TraceStats(rays=rays_cast)
