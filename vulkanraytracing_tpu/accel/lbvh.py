@@ -328,7 +328,7 @@ def pad_nodes(nodes: Array, child_index: Array, num_tris: int):
 _DONE_PAD = -1  # leaf code decoding to (start 0, count 0): never matches
 
 
-def probe_cut(nodes, child_index, cap: int = 64):
+def probe_cut(nodes, child_index, cap: int = 128):
     """Adaptive upper-tree cut of ~``cap`` child AABBs (host-side numpy).
 
     Greedy largest-area-first expansion (same rule as the BVH8 collapse):

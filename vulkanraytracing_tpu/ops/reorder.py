@@ -149,12 +149,11 @@ def seg_ranks(keys: Array, seg: int = SEG) -> Array:
 
 def probe_ray_mask(
     probe: Array, o: Array, d: Array, t_min: Array, t_max: Array
-) -> tuple[Array, Array]:
-    """Per-ray entered-bit mask over the probe cut, packed into two u32
-    columns (probe N <= 64).  Computed BEFORE the sort so the bits can
+) -> list[Array]:
+    """Per-ray entered-bit mask over the probe cut, packed into u32
+    columns (32 boxes each).  Computed BEFORE the sort so the bits can
     ride the multi-operand ``lax.sort`` — no post-sort ray pregather."""
     n_boxes = probe.shape[0]
-    assert n_boxes <= 64, n_boxes
     tiny = 1e-30
     inv = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
     tn = t_min[:, None]
@@ -165,15 +164,14 @@ def probe_ray_mask(
         tn = jnp.maximum(tn, jnp.minimum(lo, hi))
         tf = jnp.minimum(tf, jnp.maximum(lo, hi))
     ent = (tn <= tf).astype(_U32)                    # (R, N)
-    k = min(n_boxes, 32)
-    bits = _U32(1) << jnp.arange(k, dtype=_U32)
-    mlo = jnp.sum(ent[:, :k] * bits[None, :], axis=1, dtype=_U32)
-    if n_boxes > 32:
-        bits_hi = _U32(1) << jnp.arange(n_boxes - 32, dtype=_U32)
-        mhi = jnp.sum(ent[:, 32:] * bits_hi[None, :], axis=1, dtype=_U32)
-    else:
-        mhi = jnp.zeros_like(mlo)
-    return mlo, mhi
+    masks = []
+    for s in range(0, n_boxes, 32):
+        k = min(32, n_boxes - s)
+        bits = _U32(1) << jnp.arange(k, dtype=_U32)
+        masks.append(
+            jnp.sum(ent[:, s : s + k] * bits[None, :], axis=1, dtype=_U32)
+        )
+    return masks
 
 
 def probe_row_cost(
@@ -225,20 +223,19 @@ def make_order(
             # pre-sort and ride the multi-operand sort, so no post-sort
             # ray pregather is needed; the row pass composes into the
             # same final gather.
-            mlo, mhi = probe_ray_mask(probe, o, d, t_min, t_max)
-            _, slo, shi, perm = jax.lax.sort(
-                (keys, mlo, mhi, iota), num_keys=1, is_stable=True
+            masks = probe_ray_mask(probe, o, d, t_min, t_max)
+            out = jax.lax.sort(
+                (keys, *masks, iota), num_keys=1, is_stable=True
             )
-            union = jax.lax.reduce(
-                slo.reshape(-1, 128), _U32(0), jax.lax.bitwise_or, (1,)
-            )
-            union_hi = jax.lax.reduce(
-                shi.reshape(-1, 128), _U32(0), jax.lax.bitwise_or, (1,)
-            )
-            cost = (
-                jax.lax.population_count(union)
-                + jax.lax.population_count(union_hi)
-            )
+            perm = out[-1]
+            cost = jnp.zeros((n // 128,), jnp.int32)
+            for sm in out[1:-1]:
+                union = jax.lax.reduce(
+                    sm.reshape(-1, 128), _U32(0), jax.lax.bitwise_or, (1,)
+                )
+                cost = cost + jax.lax.population_count(union).astype(
+                    jnp.int32
+                )
             row_perm = jnp.argsort(cost).astype(i32)
             fwd = perm[
                 (row_perm[:, None] * 128
