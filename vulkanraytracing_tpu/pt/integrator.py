@@ -283,6 +283,8 @@ def pathtrace(
                 alive[:, None], pl_contrib * throughput / ray_pdf[:, None], 0.0
             )
             sh_tmax_pl = jnp.where(alive, jnp.sqrt(dist_sq), 0.0)
+        else:
+            ldir = sh_tmax_pl = pl_contrib = None
         wi_s = math3d.world_to_tangent(sun_d, tbn)
         wh_s = math3d.normalize(wo + wi_s)
         sun_bsdf = bsdf_mod.evaluate_bsdf(surface, wo, wi_s, wh_s)
@@ -318,16 +320,54 @@ def pathtrace(
         # dead rays get a zero-length window so traversal exits immediately
         t_max = jnp.where(alive, f32(RAY_MAX_T), f32(0.0))
 
-        # Wavefront reorder: permute the ENTIRE live state (including this
-        # bounce's shadow rays + unshadowed contributions) into TRUE
-        # global (coarse-position, direction-bin) order with one argsort
-        # + one packed row-gather, plus a probe-predicted row regroup so
-        # traversal waves fill with similar-cost rows (ops.reorder).
-        # Counter-measured on bounce-2 rays: global order traverses 2.8M
-        # node visits / 328 ms vs the earlier segment-local order's
-        # 4.7M / 488 ms (tmp/ab_sortqual.py).  The LAST bounce sorts too
-        # (no next closest trace, but its shadow set still gains; the
-        # final color restore walks these orders).
+        # --- NEE visibility traces + accumulate ---
+        # Both sets ride ONE traversal call (concatenated; each set stays
+        # contiguous so its wave packets keep their own coherence).  The
+        # closure runs either BEFORE the reorder (bounce 0: shadow
+        # origins are primary hit points, already superbly coherent in
+        # pixel-tile order — sorting them measured ~1.7x SLOWER) or
+        # AFTER it (bounce >= 1: origins are scattered bounce hit points
+        # that need the global sort, ~2.5x faster sorted).
+        def nee_trace(irradiance, rays_cast, shadow_origin, sh_tmax_sun,
+                      sun_contrib, ldir, sh_tmax_pl, pl_contrib):
+            nee_alive = sh_tmax_sun > 0.0  # pre-RR aliveness
+            if scene.has_point_lights:
+                occ = trace.trace_any(
+                    scene, cfg,
+                    jnp.concatenate([shadow_origin, shadow_origin]),
+                    jnp.concatenate([ldir, sun_d]),
+                    jnp.full((2 * R,), RAY_MIN_T, f32),
+                    jnp.concatenate([sh_tmax_pl, sh_tmax_sun]),
+                )
+                occluded, sun_occluded = occ[:R], occ[R:]
+                rays_cast += 2.0 * jnp.sum(nee_alive.astype(f32))
+                irradiance += jnp.where(occluded[:, None], 0.0, pl_contrib)
+            else:
+                sun_occluded = trace.trace_any(
+                    scene, cfg, shadow_origin, sun_d,
+                    jnp.full((R,), RAY_MIN_T, f32),
+                    sh_tmax_sun,
+                )
+                rays_cast += jnp.sum(nee_alive.astype(f32))
+            irradiance += jnp.where(sun_occluded[:, None], 0.0, sun_contrib)
+            return irradiance, rays_cast
+
+        if bounce == 0:
+            irradiance, rays_cast = nee_trace(
+                irradiance, rays_cast, shadow_origin, sh_tmax_sun,
+                sun_contrib, ldir, sh_tmax_pl, pl_contrib,
+            )
+
+        # Wavefront reorder: permute the ENTIRE live state (from bounce 1
+        # on including this bounce's shadow rays + unshadowed
+        # contributions) into TRUE global (coarse-position, direction-bin)
+        # order with one argsort + one packed row-gather, plus a
+        # probe-predicted row regroup so traversal waves fill with
+        # similar-cost rows (ops.reorder).  Counter-measured on bounce-2
+        # rays: global order traverses 2.8M node visits / 328 ms vs the
+        # earlier segment-local order's 4.7M / 488 ms (tmp/ab_sortqual.py).
+        # The LAST bounce sorts too (no next closest trace, but its shadow
+        # set still gains); one final scatter restores pixel order.
         do_sort = (
             scene.bvh is not None
             and cfg.traversal != TraversalMode.BRUTE_FORCE
@@ -337,48 +377,31 @@ def pathtrace(
             order = reorder_mod.make_order(
                 o, d, t_min, t_max, lo, hi, probe=scene.bvh.probe
             )
-            if scene.has_point_lights:
-                (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
-                 s0, s1, alive, valid, ray_slot, shadow_origin,
-                 sh_tmax_sun, sun_contrib, ldir, sh_tmax_pl,
-                 pl_contrib) = reorder_mod.apply_order(
-                    order, o, d, t_min, t_max, irradiance, throughput,
-                    ray_pdf, s0, s1, alive, valid, ray_slot, shadow_origin,
-                    sh_tmax_sun, sun_contrib, ldir, sh_tmax_pl, pl_contrib,
-                )
+            core = (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
+                    s0, s1, alive, valid, ray_slot)
+            if bounce == 0:
+                shadow_cols = ()
+            elif scene.has_point_lights:
+                shadow_cols = (shadow_origin, sh_tmax_sun, sun_contrib,
+                               ldir, sh_tmax_pl, pl_contrib)
             else:
-                (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
-                 s0, s1, alive, valid, ray_slot, shadow_origin,
-                 sh_tmax_sun, sun_contrib) = reorder_mod.apply_order(
-                    order, o, d, t_min, t_max, irradiance, throughput,
-                    ray_pdf, s0, s1, alive, valid, ray_slot, shadow_origin,
-                    sh_tmax_sun, sun_contrib,
-                )
+                shadow_cols = (shadow_origin, sh_tmax_sun, sun_contrib)
+            out = reorder_mod.apply_order(order, *core, *shadow_cols)
+            (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
+             s0, s1, alive, valid, ray_slot) = out[:12]
+            if bounce > 0:
+                if scene.has_point_lights:
+                    (shadow_origin, sh_tmax_sun, sun_contrib,
+                     ldir, sh_tmax_pl, pl_contrib) = out[12:]
+                else:
+                    shadow_origin, sh_tmax_sun, sun_contrib = out[12:]
             sorted_any = True
 
-        # --- NEE visibility traces (sorted origins) + accumulate ---
-        # Both sets ride ONE traversal call (concatenated; each set stays
-        # contiguous so its wave packets keep their own coherence).
-        nee_alive = sh_tmax_sun > 0.0  # pre-RR aliveness, post-permute
-        if scene.has_point_lights:
-            occ = trace.trace_any(
-                scene, cfg,
-                jnp.concatenate([shadow_origin, shadow_origin]),
-                jnp.concatenate([ldir, sun_d]),
-                jnp.full((2 * R,), RAY_MIN_T, f32),
-                jnp.concatenate([sh_tmax_pl, sh_tmax_sun]),
+        if bounce > 0:
+            irradiance, rays_cast = nee_trace(
+                irradiance, rays_cast, shadow_origin, sh_tmax_sun,
+                sun_contrib, ldir, sh_tmax_pl, pl_contrib,
             )
-            occluded, sun_occluded = occ[:R], occ[R:]
-            rays_cast += 2.0 * jnp.sum(nee_alive.astype(f32))
-            irradiance += jnp.where(occluded[:, None], 0.0, pl_contrib)
-        else:
-            sun_occluded = trace.trace_any(
-                scene, cfg, shadow_origin, sun_d,
-                jnp.full((R,), RAY_MIN_T, f32),
-                sh_tmax_sun,
-            )
-            rays_cast += jnp.sum(nee_alive.astype(f32))
-        irradiance += jnp.where(sun_occluded[:, None], 0.0, sun_contrib)
 
         if bounce + 1 < cfg.max_bounce_count:
             hit = trace.trace_closest(
