@@ -134,31 +134,52 @@ def test_white_furnace():
     assert 0.95 < img.mean() < 1.005, img.mean()
 
 
+_BACKEND_ID_CACHE: dict = {}
+
+
+def _backend_identity_shared():
+    """Brute-force reference render + BVH scene, computed once for both
+    parametrizations (the brute render is mode-independent)."""
+    if not _BACKEND_ID_CACHE:
+        cam_cfg = CameraConfig(
+            position=(0.0, 0.0, 3.2), aspect_ratio=1.0,
+            x_fov=float(np.radians(60.0)),
+        )
+        scene = cornell_box_scene()
+        cfg_b = _cfg(
+            camera=cam_cfg, traversal=TraversalMode.BRUTE_FORCE,
+            max_bounce_count=2,
+        )
+        cam = Camera(cam_cfg).to_device()
+        st_brute, _ = render_frame(
+            scene, cfg_b, cam, create_render_state(cfg_b)
+        )
+        _BACKEND_ID_CACHE.update(
+            cam_cfg=cam_cfg, cam=cam, brute=np.asarray(st_brute.accumulation),
+            scene_bvh=build_scene_bvh(scene),
+        )
+    return _BACKEND_ID_CACHE
+
+
 @pytest.mark.parametrize(
     "mode", [TraversalMode.BVH, TraversalMode.BVH_PALLAS]
 )
 def test_backends_render_identically(mode):
     """All trace backends (the reference's eRayTracing/eRayQueries analog)
     must produce the same image on the same scene — including the
-    production Pallas path (wide8 kernel, interpret mode on CPU)."""
-    cam_cfg = CameraConfig(
-        position=(0.0, 0.0, 3.2), aspect_ratio=1.0, x_fov=float(np.radians(60.0))
+    production Pallas path (wide8 kernel, interpret mode on CPU).
+    2 bounces: backend identity is bounce-invariant, and the Pallas
+    interpret-mode runtime scales with traversal count."""
+    shared = _backend_identity_shared()
+    cfg_v = _cfg(
+        camera=shared["cam_cfg"], traversal=mode, max_bounce_count=2
     )
-    scene = cornell_box_scene()
-    # 2 bounces: backend identity is bounce-invariant, and the Pallas
-    # interpret-mode runtime scales with traversal count
-    cfg_b = _cfg(
-        camera=cam_cfg, traversal=TraversalMode.BRUTE_FORCE,
-        max_bounce_count=2,
+    st_bvh, _ = render_frame(
+        shared["scene_bvh"], cfg_v, shared["cam"],
+        create_render_state(cfg_v),
     )
-    cam = Camera(cam_cfg).to_device()
-    st_brute, _ = render_frame(scene, cfg_b, cam, create_render_state(cfg_b))
 
-    scene_bvh = build_scene_bvh(scene)
-    cfg_v = _cfg(camera=cam_cfg, traversal=mode, max_bounce_count=2)
-    st_bvh, _ = render_frame(scene_bvh, cfg_v, cam, create_render_state(cfg_v))
-
-    a = np.asarray(st_brute.accumulation)
+    a = shared["brute"]
     b = np.asarray(st_bvh.accumulation)
     # identical up to 8-bit quantization (float assoc. differences only)
     assert np.mean(np.abs(a - b)) < 1e-3
