@@ -101,7 +101,12 @@ class Config:
     direct_light_max_luminance: float = 25.0  # ref: DirectLighting.cpp:283-298 clamp
 
     # --- execution shape ---
-    ray_chunk_size: int = 1 << 16   # rays per traversal chunk (bounds VMEM/steps)
+    # Rays per traversal wavefront.  The default covers a whole 1080p
+    # frame: the global coherence sort works best over the full
+    # wavefront, and per-chunk dispatch overhead is paid once.  Lower it
+    # only to bound host memory on very large framebuffers (the renderer
+    # clamps to the frame size, so small frames are unaffected).
+    ray_chunk_size: int = 1 << 22
     # (triangles-per-leaf is NOT a config knob: the wide kernels' leaf path
     # handles at most one row continuation, so the bound is structural —
     # accel.lbvh.LEAF_SIZE; builders take an explicit leaf_size argument.)
