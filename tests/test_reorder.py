@@ -123,3 +123,35 @@ def test_make_order_odd_sizes():
     (o2,) = reorder.apply_order(order, o)
     (o3,) = reorder.unapply_order(order, o2)
     np.testing.assert_array_equal(np.asarray(o3), np.asarray(o))
+
+
+def test_make_order_probe_row_cost():
+    """Probe-costed GlobalOrder: rows regroup by ascending predicted cost
+    (union breadth over the probe cut), rays stay key-sorted within rows,
+    and all dtypes round-trip bit-exactly through the permutation."""
+    rng = np.random.default_rng(7)
+    n = 4096
+    o = jnp.asarray((rng.random((n, 3)) * 2 - 1).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    t = jnp.full((n,), 1e-3, jnp.float32)
+    tm = jnp.full((n,), 1e3, jnp.float32)
+    lo, hi = jnp.full(3, -1.0), jnp.full(3, 1.0)
+    # a probe cut of 40 boxes scattered inside the root bounds
+    centers = (rng.random((40, 3)) * 1.6 - 0.8).astype(np.float32)
+    probe = jnp.asarray(
+        np.concatenate([centers - 0.15, centers + 0.15], axis=1)
+    )
+    order = reorder.make_order(o, d, t, tm, lo, hi, probe=probe)
+    assert isinstance(order, reorder.GlobalOrder)
+
+    o2, d2, t2, tm2 = reorder.apply_order(order, o, d, t, tm)
+    cost = np.asarray(reorder.probe_row_cost(probe, o2, d2, t2, tm2))
+    assert (np.diff(cost) >= 0).all(), "rows must ascend by predicted cost"
+
+    # round-trip exactness across dtypes
+    u = jnp.asarray(rng.integers(0, 2**32, size=(n,), dtype=np.uint32))
+    b = jnp.asarray(rng.random(n) > 0.5)
+    out = reorder.apply_order(order, o, u, b)
+    back = reorder.unapply_order(order, *out)
+    for x, y in zip((o, u, b), back):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
