@@ -265,7 +265,7 @@ def _kernel(
             # slot 7 holds the nearest child, which is descended directly.
             # Without this ordering, leaf visits measured 3x higher on
             # Sponza-class scenes (far leaves tested before best-t tightens).
-            if (not any_hit) or any_order:
+            if not any_hit:
                 net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
                        (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
                        (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
@@ -279,28 +279,66 @@ def _kernel(
                     ts[a], ts[b2], cs[a], cs[b2] = ta, tb, ca, cb
 
             hits = [t < big for t in ts]
-            # after the descending sort the nearest hit is the HIGHEST hit
-            # index: descend it, push the rest (k ascending = far to near,
-            # so the nearest alternative pops first)
-            nxt_int = jnp.zeros_like(c_all) + DONE
-            for k in range(8):
-                nxt_int = jnp.where(hits[k], cs[k], nxt_int)
-            any1 = hits[0]
-            for k in range(1, 8):
-                any1 = any1 | hits[k]
-            # push child k iff hit AND a nearer (later-index) hit exists
-            later = [None] * 8
-            acc = jnp.zeros_like(hits[0])
-            for k in range(7, -1, -1):
-                later[k] = acc
-                acc = acc | hits[k]
+            if any_hit and any_order:
+                # any-hit needs no pop ORDER, only a good first descent:
+                # near-first descent finds occluders sooner (measured
+                # 1.10-1.22x on bounce NEE shadow sets, tmp/ab_anyhit.py),
+                # but the full Batcher network is overkill — pick the
+                # nearest hit child directly (~20 tile-ops vs ~95) and
+                # push the rest in slot order.
+                t_near = ts[0]
+                for k in range(1, 8):
+                    t_near = jnp.minimum(t_near, ts[k])
+                taken = [(ts[k] == t_near) & hits[k] for k in range(8)]
+                seen = jnp.zeros_like(hits[0])
+                for k in range(8):
+                    taken[k] &= ~seen  # first nearest only
+                    seen = seen | taken[k]
+                nxt_int = jnp.zeros_like(c_all) + DONE
+                for k in range(8):
+                    nxt_int = jnp.where(taken[k], cs[k], nxt_int)
+                any1 = seen
+                later = [hits[k] & ~taken[k] for k in range(8)]
+                # slot 7's push is skipped by the loop below; fold a
+                # potential slot-7 non-taken hit into slot 7 descent-swap:
+                # if slot 7 is hit but not taken, swap it with the taken
+                # slot so the pushed set stays complete.
+                push7 = later[7]
+                for k in range(7):
+                    # where slot 7 must be pushed, push the taken child's
+                    # slot instead (it is descended via nxt_int anyway, and
+                    # cs[k] at the taken slot is what nxt_int consumed) —
+                    # i.e. redirect slot 7's child into the taken slot.
+                    # (logical |, not jnp.where with a python bool: Mosaic
+                    # can't lower the i8->i1 trunci the latter produces)
+                    later[k] = later[k] | (push7 & taken[k])
+                    cs[k] = jnp.where(push7 & taken[k], cs[7], cs[k])
+            else:
+                # after the descending sort the nearest hit is the HIGHEST
+                # hit index: descend it, push the rest (k ascending = far to
+                # near, so the nearest alternative pops first)
+                nxt_int = jnp.zeros_like(c_all) + DONE
+                for k in range(8):
+                    nxt_int = jnp.where(hits[k], cs[k], nxt_int)
+                any1 = hits[0]
+                for k in range(1, 8):
+                    any1 = any1 | hits[k]
+                # push child k iff hit AND a nearer (later-index) hit exists
+                later = [None] * 8
+                acc = jnp.zeros_like(hits[0])
+                for k in range(7, -1, -1):
+                    later[k] = acc
+                    acc = acc | hits[k]
 
             # --- leaf math (identical to traverse_wide) ---
             lf = pltpu.bitcast(nscr[...], jnp.float32)
             dx, dy, dz = pdx[...], pdy[...], pdz[...]
-            tri_best = wtri[...]
             hit_found = whit[...] != 0
             if not any_hit:
+                # any-hit needs only the occlusion boolean: skip triangle-id
+                # and u/v/backface tracking entirely (2 column reads + 4
+                # selects per leaf slot)
+                tri_best = wtri[...]
                 u_best, v_best, bf_best = wu[...], wv[...], wbf[...]
 
             def coll(i):
@@ -312,9 +350,11 @@ def _kernel(
                     # plane-based test (_woop_records): den == -MT_det
                     nx_, ny_, nz_ = coll(b + 0), coll(b + 1), coll(b + 2)
                     dn_ = coll(b + 3)
-                    cull_disable = coll(b + 12) > 0.5
+                    if cull_backface:
+                        cull_disable = coll(b + 12) > 0.5
                     candidate = coll(b + 13) > 0.5
-                    tid = coll(b + 14)
+                    if not any_hit:
+                        tid = coll(b + 14)
 
                     den = nx_ * dx + ny_ * dy + nz_ * dz
                     num = -(nx_ * ox + ny_ * oy + nz_ * oz + dn_)
@@ -338,9 +378,11 @@ def _kernel(
                     v0x, v0y, v0z = coll(b + 0), coll(b + 1), coll(b + 2)
                     e1x, e1y, e1z = coll(b + 3), coll(b + 4), coll(b + 5)
                     e2x, e2y, e2z = coll(b + 6), coll(b + 7), coll(b + 8)
-                    cull_disable = coll(b + 9) > 0.5
+                    if cull_backface:
+                        cull_disable = coll(b + 9) > 0.5
                     candidate = coll(b + 10) > 0.5
-                    tid = coll(b + 11)
+                    if not any_hit:
+                        tid = coll(b + 11)
 
                     pvx = dy * e2z - dz * e2y
                     pvy = dz * e2x - dx * e2z
@@ -371,9 +413,9 @@ def _kernel(
                     valid &= det_pos | cull_disable
 
                 best = jnp.where(valid, mt, best)
-                tri_best = jnp.where(valid, tid.astype(jnp.int32), tri_best)
                 hit_found |= valid
                 if not any_hit:
+                    tri_best = jnp.where(valid, tid.astype(jnp.int32), tri_best)
                     # commit u/v/backface with the winning hit so the host
                     # epilogue needs no tri-table gather + re-intersection
                     u_best = jnp.where(valid, mu, u_best)
@@ -383,9 +425,9 @@ def _kernel(
                     )
 
             wbest[...] = best
-            wtri[...] = tri_best
             whit[...] = hit_found.astype(jnp.int32)
             if not any_hit:
+                wtri[...] = tri_best
                 wu[...] = u_best
                 wv[...] = v_best
                 wbf[...] = bf_best
