@@ -186,6 +186,68 @@ def test_backends_render_identically(mode):
     assert np.max(np.abs(a - b)) <= 2.5 / 255
 
 
+def test_point_light_flip_segment_equivalence():
+    """pt.integrator.nee_trace traces bounce point-light visibility FROM
+    the light TOWARD the surface (shared origins per light = wavefront
+    coherence).  The flipped segment [RAY_MIN_T, dist-RAY_MIN_T] is a
+    subset of the forward one [RAY_MIN_T, dist], so occlusion must agree
+    everywhere except when the ONLY occluder sits within 1e-3 of the
+    light point — verify on a random soup with that sliver filtered."""
+    from vulkanraytracing_tpu.core.math3d import RAY_MIN_T
+    from vulkanraytracing_tpu.ops import trace
+
+    cfg = _cfg()
+    scene = triangle_soup_scene(960, seed=3)
+    rng = np.random.default_rng(5)
+    R = 512
+    p = jnp.asarray(rng.uniform(-9.0, 9.0, (R, 3)).astype(np.float32))
+    light = jnp.asarray(rng.uniform(-9.0, 9.0, (R, 3)).astype(np.float32))
+    delta = light - p
+    dist = jnp.linalg.norm(delta, axis=1)
+    ldir = delta / dist[:, None]
+    tmin = jnp.full((R,), RAY_MIN_T, jnp.float32)
+
+    fwd = np.asarray(trace.trace_any(scene, cfg, p, ldir, tmin, dist))
+    flip_o = p + ldir * dist[:, None]
+    flip = np.asarray(
+        trace.trace_any(scene, cfg, flip_o, -ldir, tmin,
+                        jnp.maximum(dist - RAY_MIN_T, 0.0))
+    )
+    # keep rays whose first forward occluder (if any) is clear of the
+    # near-light exclusion sliver
+    t = np.asarray(trace.trace_closest(scene, cfg, p, ldir, tmin, dist).t)
+    clear = (t > 1e30) | (t < np.asarray(dist) - 5e-3)
+    np.testing.assert_array_equal(fwd[clear], flip[clear])
+    # the comparison must not be vacuous
+    assert clear.sum() > R * 0.8 and fwd[clear].any() and not fwd[clear].all()
+
+
+def test_point_light_render_backend_identity():
+    """Point-light NEE (incl. the flipped bounce visibility rays) renders
+    identically through brute force and the BVH backend — no test before
+    this one ever rendered a point-light scene through the PT integrator."""
+    from vulkanraytracing_tpu.scene.types import PointLights
+
+    lights = PointLights(
+        position=jnp.array([[0.0, 1.2, 0.5, 1.0], [-0.8, 0.5, 1.0, 1.0]],
+                           jnp.float32),
+        color=jnp.array([[6.0, 5.0, 4.0, 1.0], [3.0, 4.0, 6.0, 1.0]],
+                        jnp.float32),
+    )
+    scene = triangle_soup_scene(960, seed=11)._replace(point_lights=lights)
+    cam = Camera(CameraConfig(aspect_ratio=1.0)).to_device()
+    cfg_b = _cfg(max_bounce_count=2)
+    st_brute, _ = render_frame(scene, cfg_b, cam, create_render_state(cfg_b))
+    cfg_v = _cfg(traversal=TraversalMode.BVH, max_bounce_count=2)
+    st_bvh, _ = render_frame(
+        build_scene_bvh(scene), cfg_v, cam, create_render_state(cfg_v)
+    )
+    a = np.asarray(st_brute.accumulation)
+    b = np.asarray(st_bvh.accumulation)
+    assert np.mean(np.abs(a - b)) < 1e-3
+    assert np.max(np.abs(a - b)) <= 2.5 / 255
+
+
 def test_no_nans_on_soup():
     cfg = _cfg(traversal=TraversalMode.BVH)
     cam = Camera(cfg.camera).to_device()

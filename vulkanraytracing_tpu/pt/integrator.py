@@ -329,15 +329,32 @@ def pathtrace(
         # AFTER it (bounce >= 1: origins are scattered bounce hit points
         # that need the global sort, ~2.5x faster sorted).
         def nee_trace(irradiance, rays_cast, shadow_origin, sh_tmax_sun,
-                      sun_contrib, ldir, sh_tmax_pl, pl_contrib):
+                      sun_contrib, ldir, sh_tmax_pl, pl_contrib,
+                      flip_pl=False):
             nee_alive = sh_tmax_sun > 0.0  # pre-RR aliveness
             if scene.has_point_lights:
+                if flip_pl:
+                    # Bounce point-light visibility is traced FROM the
+                    # light TOWARD the surface: the segment is identical
+                    # (occlusion is symmetric; the 1e-3 exclusion just
+                    # moves from the surface end's t_min to t_max), but
+                    # all rays to one light then share an origin, so the
+                    # position-sorted wavefront rows see camera-like
+                    # direction coherence — measured 1.16x on the real
+                    # bounce-1 point shadow set (tmp/ab_anyhit.py).
+                    # Bounce 0 stays forward: primary-hit origins in
+                    # pixel-tile order are already the coherent end.
+                    pl_o = shadow_origin + ldir * sh_tmax_pl[:, None]
+                    pl_d = -ldir
+                    pl_tmax = jnp.maximum(sh_tmax_pl - f32(RAY_MIN_T), 0.0)
+                else:
+                    pl_o, pl_d, pl_tmax = shadow_origin, ldir, sh_tmax_pl
                 occ = trace.trace_any(
                     scene, cfg,
-                    jnp.concatenate([shadow_origin, shadow_origin]),
-                    jnp.concatenate([ldir, sun_d]),
+                    jnp.concatenate([pl_o, shadow_origin]),
+                    jnp.concatenate([pl_d, sun_d]),
                     jnp.full((2 * R,), RAY_MIN_T, f32),
-                    jnp.concatenate([sh_tmax_pl, sh_tmax_sun]),
+                    jnp.concatenate([pl_tmax, sh_tmax_sun]),
                 )
                 occluded, sun_occluded = occ[:R], occ[R:]
                 rays_cast += 2.0 * jnp.sum(nee_alive.astype(f32))
@@ -401,6 +418,7 @@ def pathtrace(
             irradiance, rays_cast = nee_trace(
                 irradiance, rays_cast, shadow_origin, sh_tmax_sun,
                 sun_contrib, ldir, sh_tmax_pl, pl_contrib,
+                flip_pl=True,
             )
 
         if bounce + 1 < cfg.max_bounce_count:
