@@ -189,10 +189,10 @@ def test_backends_render_identically(mode):
 def test_point_light_flip_segment_equivalence():
     """pt.integrator.nee_trace traces bounce point-light visibility FROM
     the light TOWARD the surface (shared origins per light = wavefront
-    coherence).  The flipped segment [RAY_MIN_T, dist-RAY_MIN_T] is a
-    subset of the forward one [RAY_MIN_T, dist], so occlusion must agree
-    everywhere except when the ONLY occluder sits within 1e-3 of the
-    light point — verify on a random soup with that sliver filtered."""
+    coherence).  The flipped segment [0, dist-RAY_MIN_T] maps exactly onto
+    the forward one [RAY_MIN_T, dist] (the light point is not geometry, so
+    the flipped ray starts at t_min = 0) — occlusion must agree everywhere
+    up to floating-point rounding of dist - t at the window endpoints."""
     from vulkanraytracing_tpu.core.math3d import RAY_MIN_T
     from vulkanraytracing_tpu.ops import trace
 
@@ -210,16 +210,21 @@ def test_point_light_flip_segment_equivalence():
     fwd = np.asarray(trace.trace_any(scene, cfg, p, ldir, tmin, dist))
     flip_o = p + ldir * dist[:, None]
     flip = np.asarray(
-        trace.trace_any(scene, cfg, flip_o, -ldir, tmin,
+        trace.trace_any(scene, cfg, flip_o, -ldir,
+                        jnp.zeros((R,), jnp.float32),
                         jnp.maximum(dist - RAY_MIN_T, 0.0))
     )
-    # keep rays whose first forward occluder (if any) is clear of the
-    # near-light exclusion sliver
-    t = np.asarray(trace.trace_closest(scene, cfg, p, ldir, tmin, dist).t)
-    clear = (t > 1e30) | (t < np.asarray(dist) - 5e-3)
+    # exclude only rays whose first forward occluder sits within fp
+    # rounding of a window endpoint (t = RAY_MIN_T or t = dist)
+    t = np.asarray(trace.trace_closest(
+        scene, cfg, p, ldir, jnp.zeros((R,), jnp.float32), dist).t)
+    d_np = np.asarray(dist)
+    clear = (t > 1e30) | (
+        (np.abs(t - RAY_MIN_T) > 1e-4) & (t < d_np - 1e-4)
+    )
     np.testing.assert_array_equal(fwd[clear], flip[clear])
-    # the comparison must not be vacuous
-    assert clear.sum() > R * 0.8 and fwd[clear].any() and not fwd[clear].all()
+    # the comparison must not be vacuous, nor the filter material
+    assert clear.sum() > R * 0.95 and fwd[clear].any() and not fwd[clear].all()
 
 
 def test_point_light_render_backend_identity():

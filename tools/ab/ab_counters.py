@@ -4,7 +4,9 @@ occupancy = (int_visits + leaf_visits) / (trips * W): the fraction of
 row-slots per trip doing real work.  per-visit cost = time / (int+leaf).
 """
 import sys, time, numpy as np, jax, jax.numpy as jnp
-sys.path.insert(0, "/root/repo/tmp")
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 from tutil import timed
 from vulkanraytracing_tpu.accel import build_scene_bvh
 from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode

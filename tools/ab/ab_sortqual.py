@@ -8,7 +8,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo/tmp")
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 from tutil import timed  # noqa: F401
 
 from vulkanraytracing_tpu.core.jit_utils import hot_jit

@@ -30,7 +30,7 @@ def hot_jit(fn=None, /, **jit_kwargs):
     (even None) routes dispatch through jax 0.9's explicit-attributes C++
     function cache, which exhibits the executable-resolution bug
     ("Execution supplied N buffers but compiled program expected M") once
-    several signatures coexist in one process — see tmp/repro_bufbug.py."""
+    several signatures coexist in one process — see tools/ab/repro_bufbug.py."""
     opts = tpu_compiler_options()
 
     def wrap(f):

@@ -65,10 +65,16 @@ from vulkanraytracing_tpu.core.jit_utils import hot_jit
 # global pjit dispatch fastpath can mis-resolve executables when scenes of
 # different pytree structure alternate through one jit in a long-lived
 # process ("Execution supplied 40 buffers but compiled program expected 64"
-# — reproduced in tmp/repro_bufbug.py: lights scene -> lightless scene ->
-# lights scene again fails on the third call).  lower().compile() objects
-# bypass that cache entirely; we key them by full avals ourselves.
-_render_hybrid_jits: dict = {}
+# — minimized repro: tools/ab/repro_bufbug.py, lights scene -> lightless
+# scene -> lights scene again fails on the third call; to report upstream
+# against jax 0.9.0 once this box has network egress).  lower().compile()
+# objects bypass that cache entirely; we key them by full avals ourselves.
+# LRU-bounded: a long-lived viewer cycling scenes must not grow this
+# without bound (each entry pins a compiled executable's device buffers).
+from collections import OrderedDict
+
+_render_hybrid_jits: OrderedDict = OrderedDict()
+_RENDER_HYBRID_CACHE_CAP = 16
 
 
 def render_hybrid(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
@@ -81,7 +87,7 @@ def render_hybrid(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
     # fastpath can resolve a call to the WRONG signature's executable once
     # enough other compilations happen in the process ("Execution supplied
     # 40 buffers but compiled program expected 64"); deterministic repro in
-    # tmp/repro_bufbug.py (cornell -> single-triangle -> cornell renders —
+    # tools/ab/repro_bufbug.py (cornell -> single-triangle -> cornell renders —
     # the scenes share a treedef but differ in shapes).
     key = (treedef, tuple((x.shape, str(x.dtype)) for x in leaves), cfg)
 
@@ -91,9 +97,12 @@ def render_hybrid(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
 
         fn = hot_jit(_impl)
         _render_hybrid_jits[key] = fn
+        while len(_render_hybrid_jits) > _RENDER_HYBRID_CACHE_CAP:
+            _render_hybrid_jits.popitem(last=False)  # evict least-recent
         return fn
 
     fn = _render_hybrid_jits.get(key) or _fresh()
+    _render_hybrid_jits.move_to_end(key)
     try:
         return fn(scene, camera)
     except ValueError as e:  # self-heal the jax 0.9 mis-dispatch (above)

@@ -212,7 +212,7 @@ def fetch_surface_attributes(geom: TraceGeometry, hit: Hit) -> SurfaceAttributes
     BaryLerp with (1-u-v, u, v), normalize, flip normal on back-face hits.
     Attributes are already world-space here (flattened at scene build).
 
-    Gather economy (measured, tmp/perf_gather.py at R=2M, T=262k): an
+    Gather economy (measured, tools/ab (perf_gather, pruned round 3) at R=2M, T=262k): an
     XLA:TPU gather costs ~17 ms per SEPARATE (R,)-indexed column, but a
     row-gather of a (T, C) table costs ~55 ms for ANY C up to 25+ — cost is
     per index, columns are free.  So all 25 attribute columns ride ONE

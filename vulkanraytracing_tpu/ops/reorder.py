@@ -24,17 +24,17 @@ TPU formulation (third design): ONE global argsort + ONE packed row-gather.
   (within a 2048-ray window of an already-sorted-by-previous-bounce
   order there is nothing left to regroup) — counter-measured 4.7M node
   visits / 488 ms vs the global order's 2.8M / 328 ms
-  (tmp/ab_sortqual.py).
+  (tools/ab/ab_sortqual.py).
 
 On top of the element sort sits a row-granular WAVE-BALANCING pass:
 whole 128-ray rows are regrouped by PREDICTED traversal cost (union
 breadth over an upper-tree probe cut, probe_row_cost) so each wave
 holds rows of similar cost — a wave's trip count is the max over its
-rows.  Measured 1.24x / occupancy 41% -> 51% (tmp/ab_rowcost.py).
+rows.  Measured 1.24x / occupancy 41% -> 51% (tools/ab/ab_rowcost.py).
 
 The POSITION-MAJOR + DIRECTION-BIN key below beat every alternative
 tried (direction-major keys lose wave occupancy, pure octant keys
-leave 3x visits on the table; tmp/ab_counters.py).
+leave 3x visits on the table; tools/ab/ab_counters.py).
 """
 
 from __future__ import annotations
@@ -78,7 +78,7 @@ class GlobalOrder(NamedTuple):
     One argsort (43 ms) + one packed gather therefore beats the
     segment-local sort on BOTH cost and quality: counter-measured on
     bounce-2 rays the global order traverses 2.8M visits / 328 ms vs
-    the segment order's 4.7M / 488 ms (tmp/ab_sortqual.py)."""
+    the segment order's 4.7M / 488 ms (tools/ab/ab_sortqual.py)."""
 
     fwd: Array  # (R,) i32 — output slot i takes input element fwd[i]
     inv: Array  # (R,) i32 — the inverse permutation
@@ -99,7 +99,7 @@ def ray_sort_keys(
     bins, with finer position bits as the tiebreak.  Direction-major keys
     measured worse (wave occupancy collapses: a wave's rows then span the
     whole scene); pure octant(3) direction bits leave ~3x node visits on
-    the table vs these 10 direction bits (tmp/ab_counters.py)."""
+    the table vs these 10 direction bits (tools/ab/ab_counters.py)."""
     dead = (t_min > t_max).astype(_U32)
     morton = morton_codes(o, root_lo, root_hi) >> _U32(2)  # 28 bits
     m_hi = morton >> _U32(16)                              # 12 bits
@@ -182,7 +182,7 @@ def probe_row_cost(
     enters — the union breadth the traversal row will pay.  Counter-
     measured on the 262k bench scene: regrouping waves by this count
     took sorted-bounce traversal 485 -> 392 ms (occupancy 41% -> 51%)
-    with identical visit totals (tmp/ab_rowcost.py)."""
+    with identical visit totals (tools/ab/ab_rowcost.py)."""
     tiny = 1e-30
     inv = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
     tn = t_min[:, None]

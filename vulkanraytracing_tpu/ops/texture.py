@@ -177,7 +177,7 @@ def _bilinear(
 
     def fetch(yy, xx):
         # ONE row-gather of (N, 4) per tap — cost is per index, the 4
-        # channels are free (tmp/perf_gather.py)
+        # channels are free (tools/ab (perf_gather, pruned round 3))
         return pool.texels[base + yy * w + xx].astype(jnp.float32) * (1.0 / 255.0)
 
     c00 = fetch(y0, x0)

@@ -15,10 +15,12 @@ interior nodes are the 8-wide collapse from accel.bvh8:
   lane-replicated (W, 128) values, the nearest hit is descended and the
   rest pushed far-to-near.  Without ordering, leaf visits measured 3x
   higher (far leaves tested before best-t tightens) and the whole BVH8
-  win evaporated.  Any-hit uses the same near ordering (``any_order``):
-  order does not affect correctness there, but near-first descent finds
-  occluders sooner and rows exit earlier — measured 1.10-1.22x on the
-  bounce NEE shadow sets (tmp/ab_anyhit.py).
+  win evaporated.  Any-hit (``any_order``) skips the Batcher network: pop
+  order cannot affect correctness there, only the FIRST descent matters
+  (finding an occluder sooner ends the ray), so it selects the nearest
+  hit child directly (~20 tile-ops vs ~95) and pushes the remaining hit
+  children in slot order — measured 1.89x on the bounce-1 sun shadow set
+  over the fully-ordered variant (tools/ab/ab_anyhit2.py).
 
 Leaf encoding, triangle records and the leaf pipeline are shared unchanged
 with the 2-wide kernel.  The reference counterpart is still the
@@ -282,7 +284,7 @@ def _kernel(
             if any_hit and any_order:
                 # any-hit needs no pop ORDER, only a good first descent:
                 # near-first descent finds occluders sooner (measured
-                # 1.10-1.22x on bounce NEE shadow sets, tmp/ab_anyhit.py),
+                # 1.10-1.22x on bounce NEE shadow sets, tools/ab/ab_anyhit.py),
                 # but the full Batcher network is overkill — pick the
                 # nearest hit child directly (~20 tile-ops vs ~95) and
                 # push the rest in slot order.

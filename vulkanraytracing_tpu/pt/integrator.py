@@ -247,7 +247,7 @@ def pathtrace(
         # bounce's hit points, which the pre-sort wavefront scatters
         # across the scene (the previous structure traced them in the
         # stale order at ~3 Mrays/s vs ~25 for sorted origins — the
-        # single largest frame cost, tmp/perf_shadow.py).  Unshadowed
+        # single largest frame cost, tools/ab (perf_shadow, pruned round 3)).  Unshadowed
         # contributions are computed NOW (pre-BSDF-update throughput/pdf,
         # reference RNG stream order :216-256) and ride the same one-hot
         # permutation; occlusion only gates them after the trace.
@@ -335,25 +335,36 @@ def pathtrace(
             if scene.has_point_lights:
                 if flip_pl:
                     # Bounce point-light visibility is traced FROM the
-                    # light TOWARD the surface: the segment is identical
-                    # (occlusion is symmetric; the 1e-3 exclusion just
-                    # moves from the surface end's t_min to t_max), but
-                    # all rays to one light then share an origin, so the
-                    # position-sorted wavefront rows see camera-like
-                    # direction coherence — measured 1.16x on the real
-                    # bounce-1 point shadow set (tmp/ab_anyhit.py).
-                    # Bounce 0 stays forward: primary-hit origins in
-                    # pixel-tile order are already the coherent end.
+                    # light TOWARD the surface: the segment is identical —
+                    # the light point is not BVH geometry, so the flipped
+                    # ray starts at t_min = 0 and ends at dist - RAY_MIN_T,
+                    # which maps 1:1 onto the reference's forward window
+                    # [RAY_MIN_T, dist] (RayGen.rgen PointLighting,
+                    # TMax = sqrt(distanceSquared)).  All rays to one light
+                    # share an origin, so the position-sorted wavefront
+                    # rows see camera-like direction coherence — measured
+                    # 1.16x on the real bounce-1 point shadow set
+                    # (tools/ab/ab_anyhit.py).  Bounce 0 stays forward:
+                    # primary-hit origins in pixel-tile order are already
+                    # the coherent end.
                     pl_o = shadow_origin + ldir * sh_tmax_pl[:, None]
                     pl_d = -ldir
-                    pl_tmax = jnp.maximum(sh_tmax_pl - f32(RAY_MIN_T), 0.0)
+                    # dead lanes (sh_tmax_pl == 0) get an inverted window
+                    # (t_min 0 > t_max -1) so traversal skips them
+                    pl_tmax = jnp.where(
+                        sh_tmax_pl > 0.0,
+                        jnp.maximum(sh_tmax_pl - f32(RAY_MIN_T), 0.0),
+                        f32(-1.0),
+                    )
+                    pl_tmin = jnp.zeros((R,), f32)
                 else:
                     pl_o, pl_d, pl_tmax = shadow_origin, ldir, sh_tmax_pl
+                    pl_tmin = jnp.full((R,), RAY_MIN_T, f32)
                 occ = trace.trace_any(
                     scene, cfg,
                     jnp.concatenate([pl_o, shadow_origin]),
                     jnp.concatenate([pl_d, sun_d]),
-                    jnp.full((2 * R,), RAY_MIN_T, f32),
+                    jnp.concatenate([pl_tmin, jnp.full((R,), RAY_MIN_T, f32)]),
                     jnp.concatenate([pl_tmax, sh_tmax_sun]),
                 )
                 occluded, sun_occluded = occ[:R], occ[R:]
@@ -382,7 +393,7 @@ def pathtrace(
         # probe-predicted row regroup so traversal waves fill with
         # similar-cost rows (ops.reorder).  Counter-measured on bounce-2
         # rays: global order traverses 2.8M node visits / 328 ms vs the
-        # earlier segment-local order's 4.7M / 488 ms (tmp/ab_sortqual.py).
+        # earlier segment-local order's 4.7M / 488 ms (tools/ab/ab_sortqual.py).
         # The LAST bounce sorts too (no next closest trace, but its shadow
         # set still gains); one final scatter restores pixel order.
         do_sort = (
