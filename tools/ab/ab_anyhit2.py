@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 from tutil import timed  # noqa: E402
 
 from perf_inframe_state import build_state  # noqa: E402

@@ -7,6 +7,7 @@ import sys, time, numpy as np, jax, jax.numpy as jnp
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 from tutil import timed
 from vulkanraytracing_tpu.accel import build_scene_bvh
 from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode

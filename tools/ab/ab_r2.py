@@ -16,6 +16,7 @@ import numpy as np
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 from tutil import timed
 
 from vulkanraytracing_tpu.accel import build_scene_bvh

@@ -11,6 +11,7 @@ import numpy as np
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 from tutil import timed  # noqa: F401
 
 from vulkanraytracing_tpu.core.jit_utils import hot_jit

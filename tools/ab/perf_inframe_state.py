@@ -18,7 +18,8 @@ from vulkanraytracing_tpu.scene.camera import Camera
 from vulkanraytracing_tpu.scene.procedural import sponza_like_scene
 
 
-def build_state(W=1920, H=1080, TRIS=262144, bounces=2):
+def build_state(W=1920, H=1080, TRIS=262144, bounces=2,
+                with_material=False):
     cfg = Config(width=W, height=H, ray_chunk_size=1 << 22,
                  traversal=TraversalMode.BVH_PALLAS,
                  camera=CameraConfig(position=(-16.0, 3.0, 0.0),
@@ -76,4 +77,8 @@ def build_state(W=1920, H=1080, TRIS=262144, bounces=2):
             step(o, d, t_min, t_max, s0, s1, alive, valid))
         (o, d, t_min, t_max, alive, valid, sh_o, sh_ts, ldir, sh_tp,
          lpos, s0, s1) = out
+    if with_material:
+        # the sorted bounce-N MATERIAL rays (the next closest-trace set)
+        return (scene, cfg, sh_o, sh_ts, ldir, sh_tp, lpos, R,
+                o, d, t_min, t_max)
     return scene, cfg, sh_o, sh_ts, ldir, sh_tp, lpos, R
