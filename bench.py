@@ -49,6 +49,20 @@ def main() -> None:
     camera = Camera(cfg.camera).to_device()
     state = create_render_state(cfg)
 
+    # multi-chip: shard pixel rows over the first N devices (set by
+    # `vulkanraytracing_tpu bench --devices N`); identical image + RNG
+    # streams, so Mrays/s composes across chips
+    n_devices = int(os.environ.get("VRT_BENCH_DEVICES", "1"))
+    if n_devices > 1:
+        from vulkanraytracing_tpu.parallel import make_render_mesh, shard_render_frame
+        import jax
+
+        mesh = make_render_mesh(jax.devices()[:n_devices])
+        assert height % n_devices == 0
+
+        def render_frame(scene, cfg, camera, state, _mesh=mesh):  # noqa: F811
+            return shard_render_frame(scene, cfg, camera, state, _mesh)
+
     # warmup (compile + first frame)
     state, stats = render_frame(scene, cfg, camera, state)
     state.accumulation.block_until_ready()
@@ -66,27 +80,29 @@ def main() -> None:
         dt = time.perf_counter() - t0
         per_frame.append(rays / dt / 1e6)
 
+    # per-chip metric: divide aggregate throughput by the mesh size so the
+    # headline number stays comparable across --devices settings
+    per_frame = [m / n_devices for m in per_frame]
     mrays = max(per_frame)  # best = stable capability on the shared chip
     # time-to-1024spp (BASELINE.json metric): accumulation frames are
     # identical work, so steady-state frame time extrapolates exactly;
     # use the best frame for consistency with the headline number
     rays_per_frame = float(stats.rays)
-    best_frame_s = rays_per_frame / (mrays * 1e6)
-    print(
-        json.dumps(
-            {
-                "metric": "Mrays/s/chip",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 100.0, 4),
-                # sustained stats so best-of-N is interpretable
-                "mean": round(float(np.mean(per_frame)), 3),
-                "median": round(float(np.median(per_frame)), 3),
-                "frames": frames,
-                "time_to_1024spp_s": round(best_frame_s * 1024.0, 1),
-            }
-        )
-    )
+    best_frame_s = rays_per_frame / (mrays * n_devices * 1e6)
+    out = {
+        "metric": "Mrays/s/chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+        # sustained stats so best-of-N is interpretable
+        "mean": round(float(np.mean(per_frame)), 3),
+        "median": round(float(np.median(per_frame)), 3),
+        "frames": frames,
+        "time_to_1024spp_s": round(best_frame_s * 1024.0, 1),
+    }
+    if n_devices > 1:
+        out["devices"] = n_devices
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

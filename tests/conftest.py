@@ -31,6 +31,20 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default-skip @pytest.mark.slow tests (pre-commit usage); VRT_SLOW=1
+    runs the full suite (CI / pre-release)."""
+    if os.environ.get("VRT_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow (set VRT_SLOW=1 to run)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 # NOTE: do NOT add a jax.clear_caches() fixture here.  It makes the jax 0.9
 # executable-resolution bug ("Execution supplied N buffers but compiled
 # program expected M") MORE likely, not less — clearing drops weak refs and

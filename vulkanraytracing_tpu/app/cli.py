@@ -88,6 +88,27 @@ def _build_scene(args):
     return scene, camera_cfg, None
 
 
+def _make_mesh(args):
+    """--devices N -> a 1-D pixel-DP mesh over the first N devices (None
+    for the default single-device path).  Height must divide over N
+    (shard_render_frame shards whole row blocks)."""
+    n = getattr(args, "devices", 1)
+    if n <= 1:
+        return None
+    import jax
+
+    from vulkanraytracing_tpu.parallel import make_render_mesh
+
+    have = len(jax.devices())
+    if have < n:
+        raise SystemExit(f"error: --devices {n} but only {have} available")
+    if args.height % n:
+        raise SystemExit(
+            f"error: --height {args.height} must be divisible by --devices {n}"
+        )
+    return make_render_mesh(jax.devices()[:n])
+
+
 def _scene_needs_alpha(scene) -> bool:
     """Static: does any triangle carry the alpha-test (cutout) flag?"""
     return scene.textures is not None and bool(
@@ -119,6 +140,7 @@ def cmd_render(args) -> int:
         cfg, scene, Camera(cfg.camera),
         instances=animation[0] if animation else None,
         animation=animation[1] if animation else None,
+        mesh=_make_mesh(args),
     )
     if args.resume:
         engine.load_checkpoint(args.resume)
@@ -161,6 +183,7 @@ def cmd_view(args) -> int:
         cfg, scene, Camera(cfg.camera),
         instances=animation[0] if animation else None,
         animation=animation[1] if animation else None,
+        mesh=_make_mesh(args),
     )
     if not sys.stdin.isatty():
         print("view requires a tty (WASD fly camera, t toggles mode, q quits)",
@@ -171,8 +194,12 @@ def cmd_view(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import os
+
     import bench
 
+    if getattr(args, "devices", 1) > 1:
+        os.environ["VRT_BENCH_DEVICES"] = str(args.devices)
     bench.main()
     return 0
 
@@ -197,6 +224,20 @@ def _read_image(path: str) -> np.ndarray:
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("VRT_NUM_CPU_DEVICES"):
+        # test multi-chip sharding on a virtual CPU mesh (no TPU pod needed):
+        # must win over any site hook that forces another platform, so update
+        # the jax CONFIG before the first backend use (cli imports jax lazily,
+        # so nothing has initialized it yet)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update(
+            "jax_num_cpu_devices", int(os.environ["VRT_NUM_CPU_DEVICES"])
+        )
+
     parser = argparse.ArgumentParser(
         prog="vulkanraytracing_tpu",
         description="TPU-native path tracer / hybrid renderer",
@@ -221,6 +262,10 @@ def main(argv=None) -> int:
     )
     render.add_argument("--checkpoint", default=None, help="save render state")
     render.add_argument("--resume", default=None, help="resume render state")
+    render.add_argument(
+        "--devices", type=int, default=1,
+        help="shard pixel rows over the first N devices (multi-chip DP)",
+    )
     render.set_defaults(fn=cmd_render)
 
     view = sub.add_parser(
@@ -232,9 +277,14 @@ def main(argv=None) -> int:
     view.add_argument("--height", type=int, default=144)
     view.add_argument("--mode", choices=["pt", "hybrid"], default="pt")
     view.add_argument("--brute", action="store_true")
+    view.add_argument("--devices", type=int, default=1)
     view.set_defaults(fn=cmd_view)
 
     b = sub.add_parser("bench", help="run the Mrays/s benchmark")
+    b.add_argument(
+        "--devices", type=int, default=1,
+        help="shard the bench frame over the first N devices",
+    )
     b.set_defaults(fn=cmd_bench)
 
     cmp_ = sub.add_parser("compare", help="image RMSE (parity metric)")

@@ -47,9 +47,11 @@ class Engine:
         camera: Optional[Camera] = None,
         instances=None,          # accel.tlas.InstanceSoup — two-level scene
         animation=None,          # frame_index -> (I, 3, 4) world transforms
+        mesh=None,               # jax.sharding.Mesh — multi-chip pixel DP
     ):
         self.cfg = cfg
         self.scene = scene
+        self.mesh = mesh
         self.bus = EventBus()
         # --- animated instances (BASELINE config 5: "animated instances:
         # BVH refit, accumulation reset per move").  Ref: per-frame TLAS
@@ -184,9 +186,19 @@ class Engine:
         self._advance_animation()
         camera = self._device_camera()
         if self.render_mode == RenderMode.PATH_TRACING:
-            self.state, stats = render_frame(
-                self.scene, self.cfg, camera, self.state
-            )
+            if self.mesh is not None:
+                # multi-chip pixel data parallelism (SURVEY.md section 2.7):
+                # rows sharded over the mesh, same per-pixel RNG streams, so
+                # the image is bit-identical to single-device rendering
+                from vulkanraytracing_tpu.parallel import shard_render_frame
+
+                self.state, stats = shard_render_frame(
+                    self.scene, self.cfg, camera, self.state, self.mesh
+                )
+            else:
+                self.state, stats = render_frame(
+                    self.scene, self.cfg, camera, self.state
+                )
             self.total_rays += float(stats.rays)
             self.ray_counter.add(stats.rays)
         else:
