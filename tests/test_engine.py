@@ -149,6 +149,44 @@ def test_terminal_viewer_headless():
     assert eng.render_mode != mode0
 
 
+def test_viewer_sgr_mouse_decode():
+    """xterm SGR mouse reports (ESC[?1003h any-motion mode) decode into
+    MOUSE tokens; split escape sequences survive via the remainder."""
+    from vulkanraytracing_tpu.app.viewer import _decode_input
+
+    toks, rem = _decode_input("\x1b[<35;10;5M")
+    assert toks == [("MOUSE", 10, 5, True)] and rem == ""
+    toks, rem = _decode_input("w\x1b[<0;3;4M\x1b[A")
+    assert toks == ["w", ("MOUSE", 3, 4, True), "UP"] and rem == ""
+    toks, rem = _decode_input("\x1b[<0;3;4m")  # release -> False
+    assert toks == [("MOUSE", 3, 4, False)]
+    # incomplete report: held back as remainder, completed by next read
+    toks, rem = _decode_input("a\x1b[<35;1")
+    assert toks == ["a"] and rem == "\x1b[<35;1"
+    toks, rem = _decode_input(rem + "2;7M")
+    assert toks == [("MOUSE", 12, 7, True)] and rem == ""
+    # malformed report dropped, stream continues
+    toks, rem = _decode_input("\x1b[<1;xM q")
+    assert toks == [" ", "q"] and rem == ""
+
+
+def test_viewer_mouse_look_rotates_camera():
+    """Mouse motion tokens rotate the camera like the reference's
+    raw-mouse look (CameraSystem.cpp:144-168): first report anchors,
+    later reports inject deltas and reset accumulation."""
+    from vulkanraytracing_tpu.app.viewer import TerminalViewer
+
+    eng = _engine()
+    v = TerminalViewer(eng, cols=24, rows=10)
+    v.frame([("MOUSE", 10, 5, True)])  # anchor only: no look yet
+    view0 = eng.camera.view_matrix().copy()
+    v.frame([])
+    spp0 = int(eng.state.accum_index)
+    v.frame([("MOUSE", 14, 5, True)])  # drag right 4 cells
+    assert int(eng.state.accum_index) == 1 < spp0 + 1
+    assert not np.allclose(eng.camera.view_matrix(), view0)
+
+
 def test_animated_instances_refit_and_reset():
     """BASELINE config 5: animated instances -> TLAS refit per move +
     accumulation reset; refit renders match a from-scratch BVH build."""

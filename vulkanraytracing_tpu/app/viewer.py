@@ -11,7 +11,10 @@ are the StatsSystem text bindings (UIRenderSystem analog).
 
 Controls (CameraSystem.cpp / Engine.cpp:222-245 parity):
   w/a/s/d       move (space/c for up/down)
-  arrow keys    look around (mouse-look analog; h/j/k/l also work)
+  mouse         look around (xterm any-motion reporting, ESC[?1003h +
+                SGR ESC[?1006h — the GLFW raw-mouse-capture analog,
+                Window.cpp:99-102 / CameraSystem.cpp:144-168)
+  arrow keys    look around (fallback; h/j/k/l also work)
   1-5           speed tiers
   t             toggle render mode (hybrid <-> path tracing)
   r             reset accumulation ("reload shaders" analog)
@@ -71,30 +74,69 @@ def _ansi_image(img: np.ndarray, cols: int, rows: int) -> str:
     return "\n".join(lines)
 
 
-def _read_keys(timeout: float) -> list[str]:
-    """Non-blocking raw key reads; decodes arrow escape sequences."""
-    keys: list[str] = []
+MOUSE_SENS = 8.0  # virtual look-pixels per terminal cell of mouse travel
+
+
+def _decode_input(data: str) -> tuple[list, str]:
+    """Decode raw tty input into tokens.
+
+    Tokens are key strings ("w", "UP", "ESC", ...) plus
+    ``("MOUSE", col, row, is_press_or_motion)`` tuples from xterm SGR
+    mouse reports (``ESC[<b;x;yM`` / ``...m``, enabled by ESC[?1003h +
+    ESC[?1006h).  Returns ``(tokens, remainder)`` where remainder is an
+    incomplete trailing escape sequence to prepend to the next read."""
+    tokens: list = []
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c != "\x1b":
+            tokens.append(c)
+            i += 1
+            continue
+        if data.startswith("\x1b[<", i):
+            j = i + 3
+            while j < n and data[j] not in "Mm":
+                j += 1
+            if j >= n:  # incomplete mouse report: wait for more bytes
+                return tokens, data[i:]
+            fields = data[i + 3: j].split(";")
+            if len(fields) == 3:
+                try:
+                    _b, x, y = (int(f) for f in fields)
+                    tokens.append(("MOUSE", x, y, data[j] == "M"))
+                except ValueError:
+                    pass  # malformed report: drop it
+            i = j + 1
+        elif data.startswith("\x1b[", i):
+            if i + 2 >= n:  # incomplete CSI: wait for more bytes
+                return tokens, data[i:]
+            tokens.append(
+                {"A": "UP", "B": "DOWN", "C": "RIGHT", "D": "LEFT"}.get(
+                    data[i + 2], "ESC"
+                )
+            )
+            i += 3
+        else:
+            tokens.append("ESC")
+            i += 1
+    return tokens, ""
+
+
+def _read_keys(timeout: float) -> list:
+    """Non-blocking raw input reads; decodes arrows + SGR mouse reports."""
+    tokens: list = []
+    buf = ""
     while select.select([sys.stdin], [], [], timeout)[0]:
         timeout = 0.0
-        ch = os.read(sys.stdin.fileno(), 8).decode(errors="ignore")
-        if not ch:
+        data = os.read(sys.stdin.fileno(), 1024).decode(errors="ignore")
+        if not data:
             break
-        i = 0
-        while i < len(ch):
-            if ch[i] == "\x1b" and ch[i: i + 2] == "\x1b[" and i + 2 < len(ch):
-                keys.append(
-                    {"A": "UP", "B": "DOWN", "C": "RIGHT", "D": "LEFT"}.get(
-                        ch[i + 2], "ESC"
-                    )
-                )
-                i += 3
-            elif ch[i] == "\x1b":
-                keys.append("ESC")
-                i += 1
-            else:
-                keys.append(ch[i])
-                i += 1
-    return keys
+        toks, buf = _decode_input(buf + data)
+        tokens.extend(toks)
+    # leftover bare ESC bytes with no continuation = the Escape key
+    if buf and set(buf) == {"\x1b"}:
+        tokens.extend("ESC" for _ in buf)
+    return tokens
 
 
 class TerminalViewer:
@@ -124,6 +166,26 @@ class TerminalViewer:
                     # ALL taps from this poll so none is left held
                     self._taps = getattr(self, "_taps", [])
                     self._taps.append(_KEYMAP[k])
+            elif isinstance(k, tuple) and k and k[0] == "MOUSE":
+                # mouse-look: any motion rotates (captured-cursor parity,
+                # CameraSystem.cpp:144-168).  Cell deltas scale to the
+                # same virtual-pixel space the key-look path uses; the
+                # first report only anchors (no camera jump).
+                _, cx, cy, _press = k
+                last = getattr(self, "_mouse_cell", None)
+                if last is None:
+                    # first report: anchor both the viewer cell and the
+                    # CameraSystem delta base (its first event is also
+                    # anchor-only, GLFW-cursor parity)
+                    eng.inject_mouse_move(*getattr(self, "_mouse", (0.0, 0.0)))
+                elif (cx, cy) != last:
+                    x, y = getattr(self, "_mouse", (0.0, 0.0))
+                    self._mouse = (
+                        x + (cx - last[0]) * MOUSE_SENS,
+                        y + (cy - last[1]) * MOUSE_SENS,
+                    )
+                    eng.inject_mouse_move(*self._mouse)
+                self._mouse_cell = (cx, cy)
             elif k in _LOOKMAP:
                 dx, dy = _LOOKMAP[k]
                 x, y = getattr(self, "_mouse", (0.0, 0.0))
@@ -144,7 +206,9 @@ class TerminalViewer:
 
         fd = sys.stdin.fileno()
         old = termios.tcgetattr(fd)
-        sys.stdout.write("\x1b[2J\x1b[?25l")  # clear, hide cursor
+        # clear, hide cursor, enable any-motion mouse reporting (1003)
+        # with SGR encoding (1006)
+        sys.stdout.write("\x1b[2J\x1b[?25l\x1b[?1003h\x1b[?1006h")
         try:
             tty.setcbreak(fd)
             while True:
@@ -160,4 +224,5 @@ class TerminalViewer:
                     time.sleep(0.05 - dt)
         finally:
             termios.tcsetattr(fd, termios.TCSADRAIN, old)
-            sys.stdout.write("\x1b[?25h\x1b[0m\n")  # restore cursor
+            # mouse reporting off, restore cursor
+            sys.stdout.write("\x1b[?1006l\x1b[?1003l\x1b[?25h\x1b[0m\n")

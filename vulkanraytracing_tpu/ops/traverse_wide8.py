@@ -168,6 +168,8 @@ def _kernel(
     chunked: bool = False,
     woop: bool = False,
     any_order: bool = False,
+    phase_split: bool = False,
+    leaf_den: int = 1,
 ):
     """``chunked=True`` compiles the HBM-streaming variant: the grid is
     (n_waves, K) and grid step (w, k) traverses chunk k's BVH8 table (the
@@ -214,24 +216,16 @@ def _kernel(
                 ii, c, jnp.where(isdone, nr_rows, nr_rows + 1 + (start >> 3))
             )
 
-        def body(state):
-            it, _, n_int, n_leaf = state
-
+        def fetch_rows():
             for j in range(W):
                 nscr[pl.ds(j, 1), :] = uni_ref[pl.ds(meta[j, 3], 1), :]
 
-            c_all = meta[:, 0:1] + zi  # lane-replicated
-            ii_m = c_all >= 0
-            il_m = (c_all < 0) & (c_all != DONE)
-            done_m = c_all == DONE
+        def interior_decide(ii_m, ox, oy, oz, ix, iy, iz, t_min, best):
+            """8-child slab tests + descent ordering for interior rows.
+            Returns (hits, cs, nxt_int, any1, later)."""
 
             def colf(i):
                 return pltpu.bitcast(nscr[:, i : i + 1], jnp.float32)
-
-            ox, oy, oz = pox[...], poy[...], poz[...]
-            ix, iy, iz = rix[...], riy[...], riz[...]
-            t_min = ptmin[...]
-            best = wbest[...]
 
             # --- 8-child slab tests; per-child row entry distance (W, 1) ---
             ts, cs = [], []
@@ -296,7 +290,7 @@ def _kernel(
                 for k in range(8):
                     taken[k] &= ~seen  # first nearest only
                     seen = seen | taken[k]
-                nxt_int = jnp.zeros_like(c_all) + DONE
+                nxt_int = jnp.zeros_like(zi) + DONE
                 for k in range(8):
                     nxt_int = jnp.where(taken[k], cs[k], nxt_int)
                 any1 = seen
@@ -319,7 +313,7 @@ def _kernel(
                 # after the descending sort the nearest hit is the HIGHEST
                 # hit index: descend it, push the rest (k ascending = far to
                 # near, so the nearest alternative pops first)
-                nxt_int = jnp.zeros_like(c_all) + DONE
+                nxt_int = jnp.zeros_like(zi) + DONE
                 for k in range(8):
                     nxt_int = jnp.where(hits[k], cs[k], nxt_int)
                 any1 = hits[0]
@@ -331,11 +325,15 @@ def _kernel(
                 for k in range(7, -1, -1):
                     later[k] = acc
                     acc = acc | hits[k]
+            return hits, cs, nxt_int, any1, later
 
-            # --- leaf math (identical to traverse_wide) ---
+        def leaf_math(il_m, ox, oy, oz, dx, dy, dz, t_min, best):
+            """Leaf math (identical to traverse_wide): tests the 8 leaf
+            slots of the fetched rows for leaf rows.  Returns
+            (best, hit_found, tri_best, u_best, v_best, bf_best)."""
             lf = pltpu.bitcast(nscr[...], jnp.float32)
-            dx, dy, dz = pdx[...], pdy[...], pdz[...]
             hit_found = whit[...] != 0
+            tri_best = u_best = v_best = bf_best = None
             if not any_hit:
                 # any-hit needs only the occlusion boolean: skip triangle-id
                 # and u/v/backface tracking entirely (2 column reads + 4
@@ -425,7 +423,9 @@ def _kernel(
                     bf_best = jnp.where(
                         valid, jnp.where(backface, 1, 0), bf_best
                     )
+            return best, hit_found, tri_best, u_best, v_best, bf_best
 
+        def commit_hits(best, hit_found, tri_best, u_best, v_best, bf_best):
             wbest[...] = best
             whit[...] = hit_found.astype(jnp.int32)
             if not any_hit:
@@ -433,6 +433,39 @@ def _kernel(
                 wu[...] = u_best
                 wv[...] = v_best
                 wbf[...] = bf_best
+
+        def write_meta(newc, sp3):
+            rowv = fetch_addr(newc)
+            meta[...] = jnp.where(
+                colw == 0, newc,
+                jnp.where(
+                    colw == 1, sp3,
+                    jnp.where(colw == 3, rowv, meta[...]),
+                ),
+            )
+
+        def body(state):
+            """Combined trip: every row advances one visit (interior OR
+            leaf), paying the tile-ops of BOTH blocks (masked)."""
+            it, _, n_int, n_leaf = state
+            fetch_rows()
+            c_all = meta[:, 0:1] + zi  # lane-replicated
+            ii_m = c_all >= 0
+            il_m = (c_all < 0) & (c_all != DONE)
+            done_m = c_all == DONE
+            ox, oy, oz = pox[...], poy[...], poz[...]
+            ix, iy, iz = rix[...], riy[...], riz[...]
+            dx, dy, dz = pdx[...], pdy[...], pdz[...]
+            t_min = ptmin[...]
+            best = wbest[...]
+
+            hits, cs, nxt_int, any1, later = interior_decide(
+                ii_m, ox, oy, oz, ix, iy, iz, t_min, best
+            )
+            best, hit_found, tri_best, u_best, v_best, bf_best = leaf_math(
+                il_m, ox, oy, oz, dx, dy, dz, t_min, best
+            )
+            commit_hits(best, hit_found, tri_best, u_best, v_best, bf_best)
 
             # --- vectorized decision: push all non-taken hit children ---
             sp = meta[:, 1:2] + zi  # lane-replicated
@@ -482,14 +515,7 @@ def _kernel(
                 )
                 newc = jnp.where(row_done, DONE, newc)
 
-            rowv = fetch_addr(newc)
-            meta[...] = jnp.where(
-                colw == 0, newc,
-                jnp.where(
-                    colw == 1, sp3,
-                    jnp.where(colw == 3, rowv, meta[...]),
-                ),
-            )
+            write_meta(newc, sp3)
 
             # newc is lane-replicated (W, 128): the idle sum counts lanes
             idle_now = jnp.sum(jnp.where(newc == DONE, 1, 0))
@@ -500,9 +526,113 @@ def _kernel(
             n_leaf += jnp.sum(jnp.where(il_m, 1, 0))
             return (it + 1, alldone, n_int, n_leaf)
 
+        def body_split(state):
+            """Phase-split trip (while-while): the trip is EITHER an
+            interior step (slab tests + ordering only — leaf rows park)
+            OR a leaf step (leaf block only — interior rows park), so a
+            visit pays only its own block's tile-ops instead of both.
+            Per-row outputs are bitwise identical to the combined body
+            (rows are independent; only their relative scheduling
+            changes).  A leaf trip fires when parked leaf rows reach
+            1/leaf_den of the interior rows (or no interior rows
+            remain)."""
+            it, _, n_int, n_leaf = state
+            fetch_rows()
+            c_all = meta[:, 0:1] + zi  # lane-replicated
+            ii_m = c_all >= 0
+            il_m = (c_all < 0) & (c_all != DONE)
+            ox, oy, oz = pox[...], poy[...], poz[...]
+            t_min = ptmin[...]
+
+            n_int_l = jnp.sum(jnp.where(ii_m, 1, 0))
+            n_leaf_l = jnp.sum(jnp.where(il_m, 1, 0))
+            do_leaf = (n_leaf_l * leaf_den >= n_int_l) & (n_leaf_l > 0)
+
+            @pl.when(jnp.logical_not(do_leaf))
+            def _():
+                ix, iy, iz = rix[...], riy[...], riz[...]
+                best = wbest[...]
+                hits, cs, nxt_int, any1, later = interior_decide(
+                    ii_m, ox, oy, oz, ix, iy, iz, t_min, best
+                )
+                sp = meta[:, 1:2] + zi
+                stk = stack[...]
+                cnt = jnp.zeros_like(sp)
+                for k in range(7):  # slot 7 is never pushed (descended)
+                    pushk = hits[k] & later[k]
+                    pos = sp + cnt
+                    stk = jnp.where(
+                        (colw == pos) & pushk & (pos < STACK_DEPTH),
+                        cs[k], stk,
+                    )
+                    cnt = cnt + jnp.where(pushk & (pos < STACK_DEPTH), 1, 0)
+                stack[...] = stk
+                sp2 = sp + cnt
+                can_pop = sp2 > 0
+                top = jnp.sum(
+                    jnp.where(colw == sp2 - 1, stk, 0), axis=1, keepdims=True
+                )
+                newc = jnp.where(
+                    ii_m,
+                    jnp.where(any1, nxt_int, jnp.where(can_pop, top, DONE)),
+                    c_all,
+                )
+                popped = ii_m & (~any1) & can_pop
+                sp3 = sp2 - jnp.where(popped, 1, 0)
+                write_meta(newc, sp3)
+
+            @pl.when(do_leaf)
+            def _():
+                dx, dy, dz = pdx[...], pdy[...], pdz[...]
+                best = wbest[...]
+                best, hit_found, tri_best, u_best, v_best, bf_best = (
+                    leaf_math(il_m, ox, oy, oz, dx, dy, dz, t_min, best)
+                )
+                commit_hits(best, hit_found, tri_best, u_best, v_best,
+                            bf_best)
+                sp = meta[:, 1:2] + zi
+                lstart = (~c_all) >> 4
+                lend = lstart + ((~c_all) & 15) - 1
+                row2 = lend >> 3
+                extra = il_m & (row2 != (lstart >> 3))
+                leaf2 = ~(((row2 << 3) << 4) | 1)
+                stk = stack[...]
+                push_leaf = extra & (sp < STACK_DEPTH)
+                stk = jnp.where((colw == sp) & push_leaf, leaf2, stk)
+                stack[...] = stk
+                sp2 = sp + jnp.where(push_leaf, 1, 0)
+                can_pop = sp2 > 0
+                top = jnp.sum(
+                    jnp.where(colw == sp2 - 1, stk, 0), axis=1, keepdims=True
+                )
+                newc = jnp.where(
+                    il_m, jnp.where(can_pop, top, DONE), c_all
+                )
+                popped = il_m & can_pop
+                sp3 = sp2 - jnp.where(popped, 1, 0)
+                if any_hit:
+                    lane_done = hit_found | (t_min > best)
+                    row_done = il_m & (
+                        jnp.min(
+                            jnp.where(lane_done, 1, 0), axis=1, keepdims=True
+                        )
+                        > 0
+                    )
+                    newc = jnp.where(row_done, DONE, newc)
+                write_meta(newc, sp3)
+
+            mcur = meta[...]
+            ndone = jnp.sum(jnp.where((colw == 0) & (mcur == DONE), 1, 0))
+            alldone = ndone >= W
+            n_int += jnp.where(do_leaf, 0, n_int_l)
+            n_leaf += jnp.where(do_leaf, n_leaf_l, 0)
+            return (it + 1, alldone, n_int, n_leaf)
+
+        step = body_split if phase_split else body
+
         def block4(state):
             for _ in range(4):
-                state = body(state)
+                state = step(state)
             return state
 
         def cond(state):
@@ -588,6 +718,8 @@ def _traverse_wide8_packed(
     n_chunks: int = 1,
     woop: bool = False,
     any_order: bool = False,
+    phase_split: bool = False,
+    leaf_den: int = 1,
 ):
     r_orig = o.shape[0]
     # interpret mode pays per-row python cost; keep the resident set small
@@ -649,7 +781,7 @@ def _traverse_wide8_packed(
     call = pl.pallas_call(
         _kernel(
             cull_backface, any_hit, nr_rows, W, chunked=chunked, woop=woop,
-            any_order=any_order,
+            any_order=any_order, phase_split=phase_split, leaf_den=leaf_den,
         ),
         grid=grid,
         in_specs=[tab_spec] + [wave_spec() for _ in range(8)],
@@ -694,6 +826,7 @@ _traverse_wide8_jitted = hot_jit(
     static_argnames=(
         "nr_rows", "cull_backface", "any_hit", "interpret",
         "return_counters", "n_chunks", "woop", "any_order",
+        "phase_split", "leaf_den",
     ),
 )
 
