@@ -84,6 +84,31 @@ def test_pallas_cornell_and_dead_lanes(kernel):
     np.testing.assert_array_equal(np.asarray(brute.is_hit), np.asarray(fast.is_hit))
 
 
+@pytest.mark.parametrize("any_hit", [False, True])
+@pytest.mark.parametrize("leaf_den", [1, 2])
+def test_phase_split_matches_combined(any_hit, leaf_den):
+    """The phase-split body (interior-only trips skip the leaf block and
+    vice versa; production default for any-hit) is bitwise identical to
+    the combined body on every output."""
+    scene = triangle_soup_scene(960, seed=3)
+    geom, bvh = lbvh.build_bvh(scene.geometry)
+    bvh = traverse_wide8._with_bvh8(bvh)
+    o, d, tmin, tmax = _rays(300, extent=11.0, seed=4)
+    table, nr = traverse_wide8._unified_table8(bvh)
+
+    def run(ps):
+        return traverse_wide8._traverse_wide8_packed(
+            table, nr, bvh.tris, o, d, tmin, tmax,
+            cull_backface=not any_hit, any_hit=any_hit,
+            interpret=True, any_order=any_hit,
+            phase_split=ps, leaf_den=leaf_den if ps else 1,
+        )
+
+    a, b = run(False), run(True)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 @pytest.mark.parametrize("cull", [True, False])
 def test_woop_leaf_variant_matches_brute(cull):
     """The plane-based leaf test (traverse_wide8 woop=True) agrees with the

@@ -907,6 +907,6 @@ def intersect_any(
         o, d, t_min, t_max,
         cull_backface=False, any_hit=True,
         interpret=_use_interpret(), n_chunks=k, woop=woop,
-        any_order=True,
+        any_order=True, phase_split=True,
     )
     return hit.t < _BIG_T
