@@ -84,8 +84,12 @@ def test_pallas_cornell_and_dead_lanes(kernel):
     np.testing.assert_array_equal(np.asarray(brute.is_hit), np.asarray(fast.is_hit))
 
 
-@pytest.mark.parametrize("any_hit", [False, True])
-@pytest.mark.parametrize("leaf_den", [1, 2])
+@pytest.mark.parametrize(
+    "any_hit,leaf_den",
+    [(True, 1), (False, 2)],  # production any-hit config + the non-default
+    # closest/den2 corner; the other combos add interpret-mode minutes
+    # without new code paths
+)
 def test_phase_split_matches_combined(any_hit, leaf_den):
     """The phase-split body (interior-only trips skip the leaf block and
     vice versa; production default for any-hit) is bitwise identical to

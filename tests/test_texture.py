@@ -185,3 +185,36 @@ def test_base_level_matches_unfiltered():
     uv = jnp.asarray(np.stack([xs, np.full(16, (4 + 0.5) / 16.0)], axis=1).astype(np.float32))
     out = np.asarray(sample_pool(pool, jnp.zeros(16, jnp.int32), uv))
     np.testing.assert_allclose(out, img[4, :, :] / 255.0, atol=1e-6)
+
+
+def test_aniso_footprint_preserves_minor_axis_detail():
+    """AnisoFootprint (ref maxAnisotropy 16, VulkanConfig.hpp:44): with a
+    footprint wide in u and narrow in v, N-tap sampling keeps the lod at
+    the minor axis, preserving v-axis stripes that isotropic trilinear
+    (lod from the MAX axis) blurs to the global mean."""
+    from vulkanraytracing_tpu.ops.texture import AnisoFootprint
+
+    img = np.zeros((64, 64, 4), np.uint8)
+    img[::2, :] = 255  # horizontal stripes: detail along v only
+    img[..., 3] = 255
+    pool = build_texture_pool([img])
+    n = 4
+    tid = jnp.zeros(n, jnp.int32)
+    # texel centers of even rows (value 255)
+    uv = jnp.asarray(np.full((n, 2), (22 + 0.5) / 64.0, np.float32))
+    duvdx = jnp.asarray(np.tile([0.25, 0.0], (n, 1)), jnp.float32)  # wide u
+    duvdy = jnp.asarray(np.tile([0.0, 1e-6], (n, 1)), jnp.float32)  # sharp v
+    tri = np.asarray(sample_pool(pool, tid, uv, jnp.full((n,), 0.25)))
+    aniso = np.asarray(
+        sample_pool(pool, tid, uv, AnisoFootprint(duvdx, duvdy, 16))
+    )
+    assert abs(float(tri[0, 0]) - 0.5) < 0.1, tri[0, 0]     # blurred
+    assert (aniso[:, 0] > 0.9).all(), aniso[:, 0]           # preserved
+
+    # isotropic footprint: the aniso path reduces to trilinear
+    iso_fp = jnp.full((n,), 0.1)
+    d_iso = jnp.asarray(np.tile([0.1, 0.0], (n, 1)), jnp.float32)
+    d_iso2 = jnp.asarray(np.tile([0.0, 0.1], (n, 1)), jnp.float32)
+    a = np.asarray(sample_pool(pool, tid, uv, AnisoFootprint(d_iso, d_iso2, 4)))
+    b = np.asarray(sample_pool(pool, tid, uv, iso_fp * 0.64))
+    np.testing.assert_allclose(a, b, atol=0.08)

@@ -116,6 +116,13 @@ class Config:
     # alpha-test flag so fully-opaque textured scenes skip that cost; it is
     # static (part of the jit key), not data-dependent.
     alpha_visibility: bool = True
+    # Anisotropic filtering taps for the hybrid G-buffer texture fetch
+    # (footprint-assembly approximation of the reference's hardware
+    # maxAnisotropy 16, VulkanConfig.hpp:44).  1 = plain trilinear.
+    # Measured divergence at grazing angles: tools/measure_aniso.py +
+    # PARITY.md.  Path tracing is unaffected (implicit-LOD base level,
+    # RayGen.rgen:94).
+    hybrid_aniso_taps: int = 4
 
     @property
     def resolution(self) -> tuple[int, int]:

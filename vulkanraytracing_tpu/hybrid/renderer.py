@@ -36,6 +36,7 @@ from vulkanraytracing_tpu.core.math3d import BIAS, EPSILON, RAY_MAX_T, RAY_MIN_T
 from vulkanraytracing_tpu.env.panorama import sample_cube, sample_cube_mips, sample_environment
 from vulkanraytracing_tpu.ops import trace
 from vulkanraytracing_tpu.ops.intersect import fetch_surface_attributes
+from vulkanraytracing_tpu.ops.texture import AnisoFootprint
 from vulkanraytracing_tpu.pt import bsdf as B
 from vulkanraytracing_tpu.pt.integrator import intersect_point_light_spheres
 from vulkanraytracing_tpu.pt.surface import unpack_material
@@ -136,13 +137,29 @@ def _render_hybrid_impl(scene: Scene, cfg: Config, camera: CameraPT) -> Array:
     if scene.textures is not None:
         uv3 = jnp.concatenate([attrs.uv, jnp.zeros((r, 1), f32)], axis=1)
         uv_img = untile_image(uv3, w, h, ty, tx)[..., :2]
-        ddx = jnp.abs(uv_img - jnp.roll(uv_img, 1, axis=1))
-        ddy = jnp.abs(uv_img - jnp.roll(uv_img, 1, axis=0))
-        fp = jnp.maximum(ddx.max(axis=-1), ddy.max(axis=-1))  # (h, w)
-        fp = jnp.pad(fp, ((0, ty * 16 - h), (0, tx * 16 - w)))
-        footprint = (
-            fp.reshape(ty, 16, tx, 16).transpose(0, 2, 1, 3).reshape(-1)
-        )
+        ddx = uv_img - jnp.roll(uv_img, 1, axis=1)
+        ddy = uv_img - jnp.roll(uv_img, 1, axis=0)
+
+        def retile(img):  # (h, w, 2) -> (r, 2) wavefront order
+            img = jnp.pad(img, ((0, ty * 16 - h), (0, tx * 16 - w), (0, 0)))
+            return img.reshape(ty, 16, tx, 16, 2).transpose(
+                0, 2, 1, 3, 4).reshape(-1, 2)
+
+        taps = int(getattr(cfg, "hybrid_aniso_taps", 1))
+        if taps > 1:
+            # N-tap anisotropic footprint (ref maxAnisotropy 16,
+            # VulkanConfig.hpp:44; see ops.texture.AnisoFootprint)
+            footprint = AnisoFootprint(
+                duvdx=retile(ddx), duvdy=retile(ddy), taps=taps
+            )
+        else:
+            fp = jnp.maximum(
+                jnp.abs(ddx).max(axis=-1), jnp.abs(ddy).max(axis=-1)
+            )  # (h, w)
+            fp = jnp.pad(fp, ((0, ty * 16 - h), (0, tx * 16 - w)))
+            footprint = (
+                fp.reshape(ty, 16, tx, 16).transpose(0, 2, 1, 3).reshape(-1)
+            )
     unpacked = unpack_material(
         scene, attrs, with_occlusion=True, footprint=footprint
     )

@@ -201,8 +201,36 @@ def _level_meta(pool: TexturePool, tid: Array, level: Array):
     return base, w, h
 
 
+class AnisoFootprint(NamedTuple):
+    """Per-ray uv-space pixel footprint as the two screen-axis derivative
+    vectors, for N-tap anisotropic filtering (the reference samples with
+    ``maxAnisotropy = 16``, VulkanConfig.hpp:44 + Renderer.cpp:20-28;
+    trilinear-only was the documented divergence this closes)."""
+
+    duvdx: Array  # (R, 2) uv change per pixel step in x
+    duvdy: Array  # (R, 2) uv change per pixel step in y
+    taps: int     # static tap count (1 = plain trilinear)
+
+
+def _trilinear(pool, tid, ws, wt, uv, lod):
+    """Two-level bilinear lerp at a per-ray float lod."""
+    lmax = pool.max_levels - 1
+    lod = jnp.clip(lod, 0.0, float(lmax))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, lmax)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    b0, mw0, mh0 = _level_meta(pool, tid, l0)
+    b1, mw1, mh1 = _level_meta(pool, tid, l1)
+    c0 = _bilinear(pool, b0, mw0, mh0, ws, wt, uv)
+    c1 = _bilinear(pool, b1, mw1, mh1, ws, wt, uv)
+    return c0 * (1.0 - frac) + c1 * frac
+
+
 def sample_pool(
-    pool: TexturePool, tex_id: Array, uv: Array, footprint: Array | None = None
+    pool: TexturePool,
+    tex_id: Array,
+    uv: Array,
+    footprint: "Array | AnisoFootprint | None" = None,
 ) -> Array:
     """Filtered fetch: (R,) texture ids + (R, 2) uv -> (R, 4) float [0,1].
 
@@ -210,8 +238,12 @@ def sample_pool(
     implicit-LOD path, RayGen.rgen:94).  An (R,) float ``footprint`` — the
     uv-space extent covered by one pixel (max |duv/dxy|) — gives trilinear
     filtering at lod = log2(footprint * texture_size), the hybrid path's
-    ``defaultSampler`` minus anisotropy.  tex_id < 0 is allowed (callers
-    mask the result); it samples texture 0."""
+    ``defaultSampler`` minus anisotropy.  An :class:`AnisoFootprint` gives
+    N-tap anisotropic filtering: lod from the MINOR footprint axis
+    (clamped so the anisotropy ratio <= taps) and ``taps`` trilinear taps
+    spaced along the major axis — the standard footprint-assembly
+    approximation of the reference's hardware anisotropy 16.  tex_id < 0
+    is allowed (callers mask the result); it samples texture 0."""
     tid = jnp.maximum(tex_id, 0)
     ws = pool.wrap_s[tid]
     wt = pool.wrap_t[tid]
@@ -224,16 +256,31 @@ def sample_pool(
 
     w0 = pool.width[tid, 0]
     h0 = pool.height[tid, 0]
+
+    if isinstance(footprint, AnisoFootprint):
+        sz = jnp.stack(
+            [w0.astype(jnp.float32), h0.astype(jnp.float32)], axis=1
+        )
+        ex = footprint.duvdx * sz  # texel-space footprint axes
+        ey = footprint.duvdy * sz
+        lx = jnp.sqrt(jnp.maximum(jnp.sum(ex * ex, axis=1), 1e-16))
+        ly = jnp.sqrt(jnp.maximum(jnp.sum(ey * ey, axis=1), 1e-16))
+        maj_len = jnp.maximum(lx, ly)
+        min_len = jnp.minimum(lx, ly)
+        taps = max(int(footprint.taps), 1)
+        # clamp the ratio to the tap budget (hardware clamps to maxAniso)
+        min_eff = jnp.maximum(min_len, maj_len / float(taps))
+        lod = jnp.log2(jnp.maximum(min_eff, 1e-8))
+        major_uv = jnp.where(
+            (lx >= ly)[:, None], footprint.duvdx, footprint.duvdy
+        )
+        acc = None
+        for i in range(taps):
+            off = (i + 0.5) / taps - 0.5
+            c = _trilinear(pool, tid, ws, wt, uv + major_uv * off, lod)
+            acc = c if acc is None else acc + c
+        return acc * (1.0 / taps)
+
     texels = footprint * jnp.maximum(w0, h0).astype(jnp.float32)
     lod = jnp.log2(jnp.maximum(texels, 1e-8))
-
-    lmax = pool.max_levels - 1
-    lod = jnp.clip(lod, 0.0, float(lmax))
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, lmax)
-    frac = (lod - l0.astype(jnp.float32))[..., None]
-    b0, mw0, mh0 = _level_meta(pool, tid, l0)
-    b1, mw1, mh1 = _level_meta(pool, tid, l1)
-    c0 = _bilinear(pool, b0, mw0, mh0, ws, wt, uv)
-    c1 = _bilinear(pool, b1, mw1, mh1, ws, wt, uv)
-    return c0 * (1.0 - frac) + c1 * frac
+    return _trilinear(pool, tid, ws, wt, uv, lod)
