@@ -155,3 +155,31 @@ def test_make_order_probe_row_cost():
     back = reorder.unapply_order(order, *out)
     for x, y in zip((o, u, b), back):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sort_wavefront_matches_make_order_apply():
+    """sort_wavefront (payload rides one multi-operand lax.sort) produces
+    EXACTLY make_order + apply_order's output — same stable key sort,
+    same probe row regroup — for every dtype, with and without a probe."""
+    rng = np.random.default_rng(11)
+    n = 4096
+    o = jnp.asarray((rng.random((n, 3)) * 2 - 1).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    t = jnp.full((n,), 1e-3, jnp.float32)
+    tm = jnp.full((n,), 1e3, jnp.float32)
+    lo, hi = jnp.full(3, -1.0), jnp.full(3, 1.0)
+    u = jnp.asarray(rng.integers(0, 2**32, size=(n,), dtype=np.uint32))
+    b = jnp.asarray(rng.random(n) > 0.5)
+    i = jnp.arange(n, dtype=jnp.int32)
+    arrays = (o, d, t, tm, u, b, i)
+
+    centers = (rng.random((40, 3)) * 1.6 - 0.8).astype(np.float32)
+    probe = jnp.asarray(
+        np.concatenate([centers - 0.15, centers + 0.15], axis=1)
+    )
+    for pr in (None, probe):
+        order = reorder.make_order(o, d, t, tm, lo, hi, probe=pr)
+        want = reorder.apply_order(order, *arrays)
+        got = reorder.sort_wavefront(o, d, t, tm, lo, hi, arrays, probe=pr)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

@@ -109,6 +109,45 @@ def _worst_case_stack(child8: np.ndarray) -> int:
     return int(7 * (depth.max() + 1) + 1) if m else 1
 
 
+def _align_leaves(child8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-aligned leaf triangle layout for the 8-wide unified table.
+
+    The builders pack leaf ranges back-to-back over the sorted triangle
+    order, so a leaf's 8 slots usually straddle TWO table rows — the
+    kernel's leaf block tests all 8 slots of every row it touches, which
+    measured 1.72 rows/leaf and 48.8% slot utilization on the 262k bench
+    scene (tools/ab job 044).  Aligning every leaf to its own row makes a
+    leaf visit exactly one row at ~84% utilization.
+
+    Returns (child8 with rewritten leaf codes, tri_perm8) where
+    tri_perm8[i] is the sorted-order triangle for aligned slot i
+    (-1 = padding)."""
+    from vulkanraytracing_tpu.ops.traverse_wide8 import TRIS_PER_ROW
+
+    leaf_m = child8 < 0
+    if not leaf_m.any():
+        return child8, np.zeros((0,), np.int32)
+    enc = ~child8[leaf_m]
+    starts = enc >> 4
+    counts = enc & 15
+    assert counts.max() <= TRIS_PER_ROW, counts.max()
+    uniq, inv = np.unique(starts, return_inverse=True)
+    ucounts = np.zeros_like(uniq)
+    ucounts[inv] = counts  # identical start => identical count
+    n = uniq.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), TRIS_PER_ROW)
+    slots = np.tile(np.arange(TRIS_PER_ROW, dtype=np.int64), n)
+    valid = slots < ucounts[rows]
+    perm = np.full(n * TRIS_PER_ROW, -1, np.int32)
+    perm[valid] = (uniq[rows] + slots)[valid].astype(np.int32)
+
+    new_start = (np.arange(n, dtype=np.int64) * TRIS_PER_ROW)[inv]
+    new_enc = ~((new_start << 4) | counts).astype(np.int64)
+    out = child8.copy()
+    out[leaf_m] = new_enc.astype(np.int32)
+    return out, perm
+
+
 def _attach(bvh: BVH, nodes8: np.ndarray, child8: np.ndarray) -> BVH:
     from vulkanraytracing_tpu.ops.traverse_wide8 import STACK_DEPTH
 
@@ -125,7 +164,12 @@ def _attach(bvh: BVH, nodes8: np.ndarray, child8: np.ndarray) -> BVH:
 
     import jax.numpy as jnp
 
-    return bvh._replace(nodes8=jnp.asarray(nodes8), child8=jnp.asarray(child8))
+    child8, perm8 = _align_leaves(child8)
+    return bvh._replace(
+        nodes8=jnp.asarray(nodes8),
+        child8=jnp.asarray(child8),
+        tri_perm8=jnp.asarray(perm8),
+    )
 
 
 def collapse_bvh8(bvh: BVH, force_python: bool = False) -> BVH:

@@ -394,3 +394,73 @@ def unapply_order(order, *arrays: Array) -> tuple[Array, ...]:
     if isinstance(order, GlobalOrder):
         return _gather_permute(order.inv, arrays)
     return _permute(order, arrays, transpose=True)
+
+
+def sort_wavefront(
+    o: Array,
+    d: Array,
+    t_min: Array,
+    t_max: Array,
+    root_lo: Array,
+    root_hi: Array,
+    arrays,
+    probe: Array | None = None,
+):
+    """Coherence-sort a wavefront with the payload RIDING the sort.
+
+    One multi-operand ``lax.sort`` moves the key plus every state column
+    in a single pass — measured ~2x cheaper than argsort + packed
+    row-gather at 2M rays (tools/ab job 041: ride-8 28 ms vs 61 ms).
+    The probe-predicted wave balance (same as :func:`make_order`)
+    composes as per-array ROW gathers, which are ~index-count-bound and
+    effectively free at R/128 rows.
+
+    ``arrays`` are (R,) or (R, k) of f32/i32/u32/bool.  Returns the
+    sorted arrays in input order.  Falls back to
+    make_order + apply_order when R is not whole 128-lane rows."""
+    n = o.shape[0]
+    if n % 128 != 0 or n <= 128:
+        order = make_order(o, d, t_min, t_max, root_lo, root_hi, probe=probe)
+        return apply_order(order, *arrays)
+
+    keys = ray_sort_keys(o, d, t_min, t_max, root_lo, root_hi)
+    masks = (
+        probe_ray_mask(probe, o, d, t_min, t_max) if probe is not None else []
+    )
+
+    cols: list[Array] = []
+    specs: list[tuple] = []  # (dtype, ncomp, ndim)
+    for a in arrays:
+        k = a.shape[1] if a.ndim == 2 else 1
+        x = a if a.ndim == 2 else a[:, None]
+        for j in range(k):
+            cols.append(x[:, j])
+        specs.append((a.dtype, k, a.ndim))
+
+    out = jax.lax.sort((keys, *masks, *cols), num_keys=1, is_stable=True)
+    nm = len(masks)
+    sorted_cols = list(out[1 + nm:])
+
+    if probe is not None:
+        # wave balance: regroup whole rows by predicted cost (union
+        # breadth over the probe cut) — the bits rode the sort
+        cost = jnp.zeros((n // 128,), jnp.int32)
+        for sm in out[1 : 1 + nm]:
+            union = jax.lax.reduce(
+                sm.reshape(-1, 128), _U32(0), jax.lax.bitwise_or, (1,)
+            )
+            cost = cost + jax.lax.population_count(union).astype(jnp.int32)
+        row_perm = jnp.argsort(cost).astype(jnp.int32)
+        sorted_cols = [
+            c.reshape(-1, 128)[row_perm].reshape(-1) for c in sorted_cols
+        ]
+
+    res: list[Array] = []
+    pos = 0
+    for dtype, k, ndim in specs:
+        if ndim == 1:
+            res.append(sorted_cols[pos])
+        else:
+            res.append(jnp.stack(sorted_cols[pos : pos + k], axis=1))
+        pos += k
+    return tuple(res)

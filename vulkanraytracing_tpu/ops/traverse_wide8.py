@@ -70,7 +70,14 @@ WOOP_DEFAULT = _os.environ.get("VRT_WOOP", "0") == "1"
 def wide8_supported(bvh: BVH) -> bool:
     if bvh.chunks is not None:
         return True  # HBM-streaming path: no VMEM triangle limit
-    return bvh.nodes8 is not None and bvh.tris.shape[0] <= VMEM_TRI_LIMIT
+    if bvh.nodes8 is None:
+        return False
+    t8 = (
+        bvh.tri_perm8.shape[0]
+        if bvh.tri_perm8 is not None and bvh.tri_perm8.shape[0] > 0
+        else bvh.tris.shape[0]
+    )
+    return t8 <= VMEM_TRI_LIMIT
 
 
 def _chunked_args(bvh: BVH) -> tuple[Array, int, int]:
@@ -118,6 +125,17 @@ def _unified_table8(
     child8 = bvh.child8          # (M, 8) i32
     tris = bvh.tris              # (T, 12) f32
     flags = bvh.tri_flags        # (T,) i32
+    if bvh.tri_perm8 is not None and bvh.tri_perm8.shape[0] > 0:
+        # row-aligned leaf layout (accel.bvh8._align_leaves): slot i holds
+        # sorted-order triangle tri_perm8[i]; padding slots (-1) clear the
+        # candidate flag bits so the leaf test rejects them
+        perm = bvh.tri_perm8
+        idx = jnp.maximum(perm, 0)
+        tris = jnp.where((perm >= 0)[:, None], tris[idx], 0.0)
+        flags = jnp.where(perm >= 0, flags[idx], 0)
+        tri_ids = idx.astype(jnp.float32)
+    else:
+        tri_ids = None
     m, t = nodes8.shape[0], tris.shape[0]
 
     node_rec = jnp.concatenate(
@@ -136,9 +154,9 @@ def _unified_table8(
         ],
         axis=1,
     )
-    tri_index = (
-        jnp.arange(t, dtype=jnp.float32)[:, None] + jnp.float32(tid_offset)
-    )
+    if tri_ids is None:
+        tri_ids = jnp.arange(t, dtype=jnp.float32)
+    tri_index = tri_ids[:, None] + jnp.float32(tid_offset)
     geo = _woop_records(tris) if woop else tris[:, :9]
     pad = TRI_SLOTS - geo.shape[1] - 3
     tri_rec = jnp.concatenate(

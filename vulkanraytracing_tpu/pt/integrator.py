@@ -402,9 +402,6 @@ def pathtrace(
         )
         if do_sort:
             lo, hi = trace._root_bounds(scene.bvh)
-            order = reorder_mod.make_order(
-                o, d, t_min, t_max, lo, hi, probe=scene.bvh.probe
-            )
             core = (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
                     s0, s1, alive, valid, ray_slot)
             if bounce == 0:
@@ -414,7 +411,12 @@ def pathtrace(
                                ldir, sh_tmax_pl, pl_contrib)
             else:
                 shadow_cols = (shadow_origin, sh_tmax_sun, sun_contrib)
-            out = reorder_mod.apply_order(order, *core, *shadow_cols)
+            # the whole live state RIDES one multi-operand sort (~2x
+            # cheaper than argsort + packed row-gather, tools/ab job 041)
+            out = reorder_mod.sort_wavefront(
+                o, d, t_min, t_max, lo, hi, (*core, *shadow_cols),
+                probe=scene.bvh.probe,
+            )
             (o, d, t_min, t_max, irradiance, throughput, ray_pdf,
              s0, s1, alive, valid, ray_slot) = out[:12]
             if bounce > 0:

@@ -203,6 +203,15 @@ class BVH(NamedTuple):
     # the MERGED global BVH2 (top-level tree over chunk roots) so every
     # non-streaming backend keeps working on the same scene
     chunks: Optional[ChunkSet] = None
+    # row-aligned leaf layout for the 8-wide traversal table (host-built
+    # with the collapse, accel.bvh8._align_leaves): slot i of the aligned
+    # triangle table holds sorted-order triangle tri_perm8[i] (-1 =
+    # padding).  Each leaf starts at a multiple of TRIS_PER_ROW, so a leaf
+    # visit is exactly ONE table row — unaligned leaves averaged 1.72 rows
+    # (48.8% slot utilization) on the 262k bench scene.  child8 leaf codes
+    # are rewritten against this layout; the BVH2 arrays (nodes/
+    # child_index/tris) keep the unaligned order for every other backend.
+    tri_perm8: Optional[jnp.ndarray] = None  # (T8,) i32
 
 
 class Scene(NamedTuple):
