@@ -188,6 +188,7 @@ def _kernel(
     any_order: bool = False,
     phase_split: bool = False,
     leaf_den: int = 1,
+    row_trips: bool = False,
 ):
     """``chunked=True`` compiles the HBM-streaming variant: the grid is
     (n_waves, K) and grid step (w, k) traverses chunk k's BVH8 table (the
@@ -205,10 +206,14 @@ def _kernel(
         pdx, pdy, pdz,
         ptmin, ptmax,
         obest, otri, ohit, ou, ov, obf, octr,
-        rix, riy, riz,
-        wbest, wu, wv,
-        nscr, wtri, whit, wbf, meta, stack,
+        *rest,
     ):
+        # diagnostics variant: an extra per-row done-trip output ref
+        if row_trips:
+            orow = rest[0]
+            rest = rest[1:]
+        (rix, riy, riz, wbest, wu, wv,
+         nscr, wtri, whit, wbf, meta, stack) = rest
         colw = jax.lax.broadcasted_iota(jnp.int32, (W, LANE_COLS), 1)
         zf = jnp.zeros((W, LANE_COLS), jnp.float32)
         zi = jnp.zeros((W, LANE_COLS), jnp.int32)
@@ -452,15 +457,21 @@ def _kernel(
                 wv[...] = v_best
                 wbf[...] = bf_best
 
-        def write_meta(newc, sp3):
+        def write_meta(newc, sp3, it=None):
             rowv = fetch_addr(newc)
-            meta[...] = jnp.where(
+            upd = jnp.where(
                 colw == 0, newc,
                 jnp.where(
                     colw == 1, sp3,
                     jnp.where(colw == 3, rowv, meta[...]),
                 ),
             )
+            if row_trips and it is not None:
+                # col 4: first trip this row's cursor went DONE
+                cur4 = meta[:, 4:5] + zi
+                new4 = jnp.where((newc == DONE) & (cur4 == 0), it + 1, cur4)
+                upd = jnp.where(colw == 4, new4, upd)
+            meta[...] = upd
 
         def body(state):
             """Combined trip: every row advances one visit (interior OR
@@ -533,7 +544,7 @@ def _kernel(
                 )
                 newc = jnp.where(row_done, DONE, newc)
 
-            write_meta(newc, sp3)
+            write_meta(newc, sp3, it)
 
             # newc is lane-replicated (W, 128): the idle sum counts lanes
             idle_now = jnp.sum(jnp.where(newc == DONE, 1, 0))
@@ -597,7 +608,7 @@ def _kernel(
                 )
                 popped = ii_m & (~any1) & can_pop
                 sp3 = sp2 - jnp.where(popped, 1, 0)
-                write_meta(newc, sp3)
+                write_meta(newc, sp3, it)
 
             @pl.when(do_leaf)
             def _():
@@ -637,7 +648,7 @@ def _kernel(
                         > 0
                     )
                     newc = jnp.where(row_done, DONE, newc)
-                write_meta(newc, sp3)
+                write_meta(newc, sp3, it)
 
             mcur = meta[...]
             ndone = jnp.sum(jnp.where((colw == 0) & (mcur == DONE), 1, 0))
@@ -699,6 +710,10 @@ def _kernel(
         ou[...] = wu[...]
         ov[...] = wv[...]
         obf[...] = wbf[...]
+        if row_trips:
+            # rows still live at MAX_ITERS report the full trip count
+            m4 = meta[:, 4:5] + jnp.zeros((W, LANE_COLS), jnp.int32)
+            orow[...] = jnp.where(m4 == 0, trips, m4)
 
         shape = (8, LANE_COLS)
         iters = jnp.zeros(shape, jnp.int32) + trips
@@ -738,6 +753,7 @@ def _traverse_wide8_packed(
     any_order: bool = False,
     phase_split: bool = False,
     leaf_den: int = 1,
+    row_trips: bool = False,
 ):
     r_orig = o.shape[0]
     # interpret mode pays per-row python cost; keep the resident set small
@@ -792,6 +808,10 @@ def _traverse_wide8_packed(
         jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32),
         jax.ShapeDtypeStruct((8, LANE_COLS), jnp.int32),
     ]
+    if row_trips:
+        out_shape.append(
+            jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32)
+        )
 
     f32scr = lambda: pltpu.VMEM((W, LANE_COLS), jnp.float32)  # noqa: E731
     i32scr = lambda: pltpu.VMEM((W, LANE_COLS), jnp.int32)  # noqa: E731
@@ -800,10 +820,12 @@ def _traverse_wide8_packed(
         _kernel(
             cull_backface, any_hit, nr_rows, W, chunked=chunked, woop=woop,
             any_order=any_order, phase_split=phase_split, leaf_den=leaf_den,
+            row_trips=row_trips,
         ),
         grid=grid,
         in_specs=[tab_spec] + [wave_spec() for _ in range(8)],
-        out_specs=[wave_spec()] * 6 + [ctr_spec],
+        out_specs=[wave_spec()] * 6 + [ctr_spec]
+        + ([wave_spec()] if row_trips else []),
         out_shape=out_shape,
         scratch_shapes=[f32scr() for _ in range(6)]
         + [i32scr() for _ in range(6)],
@@ -813,9 +835,9 @@ def _traverse_wide8_packed(
         interpret=interpret,
     )
 
-    best, tri, hit_i, u_k, v_k, bf_k, iters = call(
-        table, ox, oy, oz, dx, dy, dz, tmin2, tmax2
-    )
+    outs = call(table, ox, oy, oz, dx, dy, dz, tmin2, tmax2)
+    best, tri, hit_i, u_k, v_k, bf_k, iters = outs[:7]
+    rtrips = outs[7][:, 0] if row_trips else None
     del bvh_tris  # u/v/backface committed in-kernel; no tri-table epilogue
     iters = iters[None, 0, :3]
 
@@ -832,8 +854,12 @@ def _traverse_wide8_packed(
         tri=tri_f,
         backface=hit_found & (flat(bf_k) != 0),
     )
+    if return_counters and row_trips:
+        return result, iters, rtrips
     if return_counters:
         return result, iters
+    if row_trips:
+        return result, rtrips
     return result
 
 
@@ -844,7 +870,7 @@ _traverse_wide8_jitted = hot_jit(
     static_argnames=(
         "nr_rows", "cull_backface", "any_hit", "interpret",
         "return_counters", "n_chunks", "woop", "any_order",
-        "phase_split", "leaf_den",
+        "phase_split", "leaf_den", "row_trips",
     ),
 )
 
