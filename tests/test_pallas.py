@@ -113,6 +113,30 @@ def test_phase_split_matches_combined(any_hit, leaf_den):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+@pytest.mark.parametrize("any_hit", [False, True])
+def test_drain_compact_matches_single_run(any_hit):
+    """Drain+compact rounds (trip cap + survivors-first row packing +
+    resume, the production occupancy fix) are bitwise identical to the
+    uncapped single run on every output."""
+    scene = triangle_soup_scene(960, seed=3)
+    geom, bvh = lbvh.build_bvh(scene.geometry)
+    bvh = traverse_wide8._with_bvh8(bvh)
+    o, d, tmin, tmax = _rays(300, extent=11.0, seed=4)
+    table, nr = traverse_wide8._unified_table8(bvh)
+
+    def run(caps):
+        return traverse_wide8._traverse_wide8_packed(
+            table, nr, bvh.tris, o, d, tmin, tmax,
+            cull_backface=not any_hit, any_hit=any_hit,
+            any_order=any_hit, phase_split=any_hit,
+            interpret=True, drain_caps=caps,
+        )
+
+    a, b = run(()), run((24, 96))
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 @pytest.mark.parametrize("cull", [True, False])
 def test_woop_leaf_variant_matches_brute(cull):
     """The plane-based leaf test (traverse_wide8 woop=True) agrees with the

@@ -56,6 +56,24 @@ TRI_SLOTS = 16
 TRIS_PER_ROW = LANE_COLS // TRI_SLOTS
 
 DONE = -(1 << 30)
+
+# drain+compact trip-cap schedules (see _kernel drain docstring): run to
+# the cap, pack unfinished rows into dense waves, resume; the final
+# round is uncapped.  Tuned on the 262k bench sets (tools/ab job 050);
+# override for experiments with e.g. VRT_DRAIN_CLOSEST="128,512".
+def _caps_env(name: str, default: tuple) -> tuple:
+    import os
+
+    v = os.environ.get(name)
+    if not v:
+        return default
+    if v.strip() in ("0", "off"):
+        return ()
+    return tuple(int(x) for x in v.split(","))
+
+
+CLOSEST_DRAIN_CAPS = _caps_env("VRT_DRAIN_CLOSEST", (192, 1024))
+ANYHIT_DRAIN_CAPS = _caps_env("VRT_DRAIN_ANYHIT", (16, 128))
 VMEM_TRI_LIMIT = 400_000
 
 # leaf-test selection: plane-based (_woop_records, ~30% fewer leaf VPU
@@ -189,8 +207,20 @@ def _kernel(
     phase_split: bool = False,
     leaf_den: int = 1,
     row_trips: bool = False,
+    drain: bool = False,
+    resume: bool = False,
 ):
-    """``chunked=True`` compiles the HBM-streaming variant: the grid is
+    """``drain=True`` compiles the drain+compact variant: the while loop
+    stops at a DYNAMIC trip cap (SMEM scalar input) and the per-row
+    traversal state (meta + stack) is exported, so an orchestrator can
+    compact unfinished rows into dense waves and resume
+    (``resume=True`` initializes meta/stack/hit state from inputs
+    instead of fresh).  Rationale: a wave pays its slowest row's trips;
+    measured per-row done-trips put current occupancy at 62.7%/10.8%/
+    56.1% (material/sun/point sets) vs 86-92% for capped drain rounds
+    (tools/ab jobs 047/049).
+
+    ``chunked=True`` compiles the HBM-streaming variant: the grid is
     (n_waves, K) and grid step (w, k) traverses chunk k's BVH8 table (the
     pallas pipeline streams the next chunk's table HBM->VMEM while this one
     computes).  Hit state (wbest/wtri/...) lives in scratch, which persists
@@ -200,20 +230,28 @@ def _kernel(
     tiny = 1e-30
     big = 3.0e38
 
-    def kernel(
-        uni_ref,
-        pox, poy, poz,
-        pdx, pdy, pdz,
-        ptmin, ptmax,
-        obest, otri, ohit, ou, ov, obf, octr,
-        *rest,
-    ):
-        # diagnostics variant: an extra per-row done-trip output ref
+    def kernel(*refs):
+        i = 0
+        uni_ref = refs[0]
+        (pox, poy, poz, pdx, pdy, pdz, ptmin, ptmax) = refs[1:9]
+        i = 9
+        cap_ref = None
+        if drain:
+            cap_ref = refs[i]
+            i += 1
+        if resume:
+            (pbest, ptri, phit, pu, pv, pbf, pmeta, pstack) = refs[i:i + 8]
+            i += 8
+        (obest, otri, ohit, ou, ov, obf, octr) = refs[i:i + 7]
+        i += 7
         if row_trips:
-            orow = rest[0]
-            rest = rest[1:]
+            orow = refs[i]
+            i += 1
+        if drain:
+            ometa, ostack = refs[i:i + 2]
+            i += 2
         (rix, riy, riz, wbest, wu, wv,
-         nscr, wtri, whit, wbf, meta, stack) = rest
+         nscr, wtri, whit, wbf, meta, stack) = refs[i:]
         colw = jax.lax.broadcasted_iota(jnp.int32, (W, LANE_COLS), 1)
         zf = jnp.zeros((W, LANE_COLS), jnp.float32)
         zi = jnp.zeros((W, LANE_COLS), jnp.int32)
@@ -664,8 +702,10 @@ def _kernel(
                 state = step(state)
             return state
 
+        cap = cap_ref[0, 0] if drain else MAX_ITERS
+
         def cond(state):
-            return (~state[1]) & (state[0] < MAX_ITERS)
+            return (~state[1]) & (state[0] < cap)
 
         rix[...] = safe_inv(pdx[...])
         riy[...] = safe_inv(pdy[...])
@@ -681,24 +721,35 @@ def _kernel(
             wv[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
             wbf[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
 
-        if chunked:
-            # hit state persists in scratch across the chunk axis; only the
-            # first chunk of each wave starts fresh
-            pl.when(pl.program_id(1) == 0)(init_state)
+        if resume:
+            # continue a capped round: traversal + hit state come in
+            wbest[...] = pbest[...]
+            wtri[...] = ptri[...]
+            whit[...] = phit[...]
+            wu[...] = pu[...]
+            wv[...] = pv[...]
+            wbf[...] = pbf[...]
+            meta[...] = pmeta[...]
+            stack[...] = pstack[...]
         else:
-            init_state()
+            if chunked:
+                # hit state persists in scratch across the chunk axis; only
+                # the first chunk of each wave starts fresh
+                pl.when(pl.program_id(1) == 0)(init_state)
+            else:
+                init_state()
 
-        relevant = tminr <= tmaxr
-        if any_hit and chunked:
-            # rows whose every live lane already found an occluder in an
-            # earlier chunk skip this chunk entirely
-            relevant &= whit[...] == 0
-        live = jnp.sum(jnp.where(relevant, 1, 0), axis=1, keepdims=True)
-        cur0 = jnp.where(live > 0, 0, DONE)
-        row0 = fetch_addr(cur0)
-        meta[...] = jnp.where(
-            colw == 0, cur0, jnp.where(colw == 3, row0, 0)
-        )
+            relevant = tminr <= tmaxr
+            if any_hit and chunked:
+                # rows whose every live lane already found an occluder in an
+                # earlier chunk skip this chunk entirely
+                relevant &= whit[...] == 0
+            live = jnp.sum(jnp.where(relevant, 1, 0), axis=1, keepdims=True)
+            cur0 = jnp.where(live > 0, 0, DONE)
+            row0 = fetch_addr(cur0)
+            meta[...] = jnp.where(
+                colw == 0, cur0, jnp.where(colw == 3, row0, 0)
+            )
 
         trips, _, n_int, n_leaf = jax.lax.while_loop(
             cond, block4, (jnp.int32(0), False, jnp.int32(0), jnp.int32(0))
@@ -710,6 +761,9 @@ def _kernel(
         ou[...] = wu[...]
         ov[...] = wv[...]
         obf[...] = wbf[...]
+        if drain:
+            ometa[...] = meta[...]
+            ostack[...] = stack[...]
         if row_trips:
             # rows still live at MAX_ITERS report the full trip count
             m4 = meta[:, 4:5] + jnp.zeros((W, LANE_COLS), jnp.int32)
@@ -754,6 +808,7 @@ def _traverse_wide8_packed(
     phase_split: bool = False,
     leaf_den: int = 1,
     row_trips: bool = False,
+    drain_caps: tuple = (),
 ):
     r_orig = o.shape[0]
     # interpret mode pays per-row python cost; keep the resident set small
@@ -816,28 +871,106 @@ def _traverse_wide8_packed(
     f32scr = lambda: pltpu.VMEM((W, LANE_COLS), jnp.float32)  # noqa: E731
     i32scr = lambda: pltpu.VMEM((W, LANE_COLS), jnp.int32)  # noqa: E731
 
-    call = pl.pallas_call(
-        _kernel(
-            cull_backface, any_hit, nr_rows, W, chunked=chunked, woop=woop,
-            any_order=any_order, phase_split=phase_split, leaf_den=leaf_den,
-            row_trips=row_trips,
-        ),
-        grid=grid,
-        in_specs=[tab_spec] + [wave_spec() for _ in range(8)],
-        out_specs=[wave_spec()] * 6 + [ctr_spec]
-        + ([wave_spec()] if row_trips else []),
-        out_shape=out_shape,
-        scratch_shapes=[f32scr() for _ in range(6)]
-        + [i32scr() for _ in range(6)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )
+    def mk_call(drain: bool, resume: bool):
+        cap_spec = pl.BlockSpec(
+            (1, 1), (lambda w: (0, 0)) if not chunked else
+            (lambda w, k: (0, 0)), memory_space=pltpu.SMEM,
+        )
+        ins = [tab_spec] + [wave_spec() for _ in range(8)]
+        outs_spec = [wave_spec()] * 6 + [ctr_spec]
+        shapes = list(out_shape)
+        if drain:
+            ins.append(cap_spec)
+        if resume:
+            ins += [wave_spec() for _ in range(8)]
+        if row_trips:
+            outs_spec.append(wave_spec())
+        if drain:
+            outs_spec += [wave_spec(), wave_spec()]
+            shapes += [
+                jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32),
+                jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32),
+            ]
+        return pl.pallas_call(
+            _kernel(
+                cull_backface, any_hit, nr_rows, W, chunked=chunked,
+                woop=woop, any_order=any_order, phase_split=phase_split,
+                leaf_den=leaf_den, row_trips=row_trips,
+                drain=drain, resume=resume,
+            ),
+            grid=grid,
+            in_specs=ins,
+            out_specs=outs_spec,
+            out_shape=shapes,
+            scratch_shapes=[f32scr() for _ in range(6)]
+            + [i32scr() for _ in range(6)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
 
-    outs = call(table, ox, oy, oz, dx, dy, dz, tmin2, tmax2)
-    best, tri, hit_i, u_k, v_k, bf_k, iters = outs[:7]
-    rtrips = outs[7][:, 0] if row_trips else None
+    if drain_caps:
+        # drain+compact rounds: run to a trip cap, pack the unfinished
+        # rows into dense waves (a wave pays its slowest row), resume.
+        # Measured ceilings in tools/ab jobs 047/049.
+        assert not chunked, "drain+compact is single-table only"
+        assert not row_trips, "diagnostics and drain are exclusive"
+        i32 = jnp.int32
+
+        def permute_rows(perm, arrs):
+            cols = [
+                a if a.dtype == jnp.int32
+                else jax.lax.bitcast_convert_type(a, jnp.int32)
+                for a in arrs
+            ]
+            packed = jnp.concatenate(cols, axis=1)
+            out = packed[perm]
+            res = []
+            for k, a in enumerate(arrs):
+                x = out[:, k * LANE_COLS : (k + 1) * LANE_COLS]
+                if a.dtype != jnp.int32:
+                    x = jax.lax.bitcast_convert_type(x, a.dtype)
+                res.append(x)
+            return res
+
+        fresh = mk_call(True, False)
+        resume_call = mk_call(True, True)
+        blocks = [ox, oy, oz, dx, dy, dz, tmin2, tmax2]
+        cap0 = jnp.full((1, 1), i32(drain_caps[0]))
+        outs = fresh(table, *blocks, cap0)
+        best, tri, hit_i, u_k, v_k, bf_k, iters, meta_s, stack_s = outs
+        acc = jnp.arange(pool_rows, dtype=i32)
+        for cap in (*drain_caps[1:], MAX_ITERS):
+            live = (meta_s[:, 0] != DONE).astype(i32)
+            perm = jnp.argsort(-live, stable=True).astype(i32)
+            state = permute_rows(
+                perm,
+                blocks + [best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s],
+            )
+            blocks = state[:8]
+            (best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s) = state[8:]
+            acc = acc[perm]
+            capr = jnp.full((1, 1), i32(min(cap, MAX_ITERS)))
+            outs = resume_call(
+                table, *blocks, capr,
+                best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s,
+            )
+            (best, tri, hit_i, u_k, v_k, bf_k, iters_r,
+             meta_s, stack_s) = outs
+            iters = iters + iters_r
+        inv = jnp.zeros((pool_rows,), i32).at[acc].set(
+            jnp.arange(pool_rows, dtype=i32), unique_indices=True
+        )
+        best, tri, hit_i, u_k, v_k, bf_k = permute_rows(
+            inv, [best, tri, hit_i, u_k, v_k, bf_k]
+        )
+        rtrips = None
+    else:
+        call = mk_call(False, False)
+        outs = call(table, ox, oy, oz, dx, dy, dz, tmin2, tmax2)
+        best, tri, hit_i, u_k, v_k, bf_k, iters = outs[:7]
+        rtrips = outs[7][:, 0] if row_trips else None
     del bvh_tris  # u/v/backface committed in-kernel; no tri-table epilogue
     iters = iters[None, 0, :3]
 
@@ -870,7 +1003,7 @@ _traverse_wide8_jitted = hot_jit(
     static_argnames=(
         "nr_rows", "cull_backface", "any_hit", "interpret",
         "return_counters", "n_chunks", "woop", "any_order",
-        "phase_split", "leaf_den", "row_trips",
+        "phase_split", "leaf_den", "row_trips", "drain_caps",
     ),
 )
 
@@ -917,11 +1050,14 @@ def intersect_closest(
         woop = WOOP_DEFAULT
         table, nr = _unified_table8(bvh, woop=woop)
         k = 1
+    interpret = _use_interpret()
+    caps = CLOSEST_DRAIN_CAPS if (k == 1 and not interpret) else ()
     return _dispatch(o)(
         table, nr, bvh.tris,
         o, d, t_min, t_max,
         cull_backface=cull_backface, any_hit=False,
-        interpret=_use_interpret(), n_chunks=k, woop=woop,
+        interpret=interpret, n_chunks=k, woop=woop,
+        drain_caps=caps,
     )
 
 
@@ -946,11 +1082,14 @@ def intersect_any(
         woop = WOOP_DEFAULT
         table, nr = _unified_table8(bvh, woop=woop)
         k = 1
+    interpret = _use_interpret()
+    caps = ANYHIT_DRAIN_CAPS if (k == 1 and not interpret) else ()
     hit = _dispatch(o)(
         table, nr, bvh.tris,
         o, d, t_min, t_max,
         cull_backface=False, any_hit=True,
-        interpret=_use_interpret(), n_chunks=k, woop=woop,
+        interpret=interpret, n_chunks=k, woop=woop,
         any_order=True, phase_split=True,
+        drain_caps=caps,
     )
     return hit.t < _BIG_T
