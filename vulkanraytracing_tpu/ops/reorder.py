@@ -437,8 +437,22 @@ def sort_wavefront(
             cols.append(x[:, j])
         specs.append((a.dtype, k, a.ndim))
 
-    out = jax.lax.sort((keys, *masks, *cols), num_keys=1, is_stable=True)
+    # XLA's TPU sort lowering degrades pathologically past ~24 operands
+    # (a 33-operand sort sat >25 min in compile; <=20 operands compile in
+    # ~20 s and run ~30 ms at 2M rays — tools/ab job 048b).  Split the
+    # payload into groups of <=16 and re-sort the same keys per group:
+    # the sort is stable with identical keys, so every group rides the
+    # identical permutation and the result is bitwise unchanged.
+    group = 16
+    allc = [*masks, *cols]
+    riding: list[Array] = []
+    for g in range(0, len(allc), group):
+        outg = jax.lax.sort(
+            (keys, *allc[g : g + group]), num_keys=1, is_stable=True
+        )
+        riding.extend(outg[1:])
     nm = len(masks)
+    out = (keys, *riding)
     sorted_cols = list(out[1 + nm:])
 
     if probe is not None:

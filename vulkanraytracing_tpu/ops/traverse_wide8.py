@@ -59,7 +59,9 @@ DONE = -(1 << 30)
 
 # drain+compact trip-cap schedules (see _kernel drain docstring): run to
 # the cap, pack unfinished rows into dense waves, resume; the final
-# round is uncapped.  Tuned on the 262k bench sets (tools/ab job 050);
+# round is uncapped.  Tuned on the real bounce-2 wavefronts of the 262k
+# bench frame (job 051: closest 454->420 ms at (256,1024); sun any-hit
+# 98.7->55.4 ms at (16,128); point any-hit 232.7->214.2 ms);
 # override for experiments with e.g. VRT_DRAIN_CLOSEST="128,512".
 def _caps_env(name: str, default: tuple) -> tuple:
     import os
@@ -72,7 +74,7 @@ def _caps_env(name: str, default: tuple) -> tuple:
     return tuple(int(x) for x in v.split(","))
 
 
-CLOSEST_DRAIN_CAPS = _caps_env("VRT_DRAIN_CLOSEST", (192, 1024))
+CLOSEST_DRAIN_CAPS = _caps_env("VRT_DRAIN_CLOSEST", (256, 1024))
 ANYHIT_DRAIN_CAPS = _caps_env("VRT_DRAIN_ANYHIT", (16, 128))
 VMEM_TRI_LIMIT = 400_000
 
