@@ -115,23 +115,35 @@ def main() -> int:
         x_fov=float(np.radians(60.0)),
     )
 
-    def case(name, scene_fn, needs_alpha=False):
+    def case(name, scene_fn, needs_alpha=False, oracle=None, case_spp=None,
+             case_cam=None, prebuild_bvh=False):
+        """oracle=None -> brute force (ground truth).  For at-scale scenes
+        where O(R*T) brute force is unaffordable, pass an oracle
+        TraversalMode (e.g. the XLA packet BVH backend, itself
+        brute-force-validated on the small cases) and prebuild_bvh=True
+        so both backends traverse the IDENTICAL tree."""
+        oracle = TraversalMode.BRUTE_FORCE if oracle is None else oracle
+        cspp = case_spp or spp
         for mode in ("parity", "hdr"):
             base = Config(
-                width=size, height=size, camera=cam,
+                width=size, height=size, camera=case_cam or cam,
                 parity_quantization=(mode == "parity"),
                 tone_map_before_accumulation=(mode == "parity"),
                 alpha_visibility=needs_alpha,
             )
+            built = scene_fn()
+            if prebuild_bvh:
+                built = build_scene_bvh(built, builder="sah")
             imgs = {}
             for backend in ("oracle", "production"):
-                scene = scene_fn()
+                scene = built
                 if backend == "production":
-                    scene = build_scene_bvh(scene, builder="sah")
+                    if not prebuild_bvh:
+                        scene = build_scene_bvh(scene, builder="sah")
                     cfg = base.replace(traversal=TraversalMode.BVH_PALLAS)
                 else:
-                    cfg = base.replace(traversal=TraversalMode.BRUTE_FORCE)
-                img, rays, dt = _render(scene, cfg, spp)
+                    cfg = base.replace(traversal=oracle)
+                img, rays, dt = _render(scene, cfg, cspp)
                 imgs[backend] = img
                 write_png(out_dir / f"{name}_{mode}_{backend}.png", img)
                 print(f"{name}/{mode}/{backend}: {rays / 1e6:.1f} Mrays "
@@ -142,12 +154,33 @@ def main() -> int:
             )
             report["cases"][f"{name}_{mode}"] = {
                 "rmse": value, "passes_1e-3": value <= 1e-3,
+                "spp": cspp, "oracle": oracle.name,
             }
             print(f"{name}/{mode}: RMSE {value:.2e} "
                   f"({'PASS' if value <= 1e-3 else 'FAIL'} @1e-3)", flush=True)
 
     case("cornell", cornell_box_scene)
     case("textured", _textured_quad_scene, needs_alpha=False)
+
+    # At-scale case: the 262k-tri bench scene, production wide8 Pallas
+    # kernel (with drain+compact) vs the XLA packet BVH backend over the
+    # IDENTICAL tree.  Brute force is O(R*T) and unaffordable at 262k
+    # tris; the packet backend is itself brute-force-validated above and
+    # in tests/test_pallas.py, so the oracle chain is closed.  spp is
+    # reduced (the small cases carry the 1024-spp gate; at equal hits
+    # the images here are bitwise equal at any spp).
+    from vulkanraytracing_tpu.scene.procedural import sponza_like_scene
+
+    sponza_cam = CameraConfig(
+        position=(-16.0, 3.0, 0.0), target=(0.0, 3.0, 0.0),
+        aspect_ratio=1.0, x_fov=float(np.radians(80.0)),
+    )
+    if not small:  # TPU-scale case; interpret-mode Pallas can't afford it
+        case(
+            "sponza262k", lambda: sponza_like_scene(target_triangles=262144),
+            oracle=TraversalMode.BVH, case_spp=128,
+            case_cam=sponza_cam, prebuild_bvh=True,
+        )
 
     report["all_pass"] = all(c["passes_1e-3"] for c in report["cases"].values())
     (out_dir / "report.json").write_text(json.dumps(report, indent=2))
