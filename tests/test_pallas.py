@@ -132,6 +132,8 @@ def test_drain_compact_matches_single_run(any_hit):
             interpret=True, drain_caps=caps,
         )
 
+    # caps chosen so round 1 leaves survivors on this scene (union trips
+    # per row measured ~60-200 here), exercising the resume rounds
     a, b = run(()), run((24, 96))
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))

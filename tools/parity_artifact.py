@@ -145,7 +145,8 @@ def main() -> int:
                     cfg = base.replace(traversal=oracle)
                 img, rays, dt = _render(scene, cfg, cspp)
                 imgs[backend] = img
-                write_png(out_dir / f"{name}_{mode}_{backend}.png", img)
+                pre = "smoke_" if small else ""
+                write_png(out_dir / f"{pre}{name}_{mode}_{backend}.png", img)
                 print(f"{name}/{mode}/{backend}: {rays / 1e6:.1f} Mrays "
                       f"in {dt:.1f}s", flush=True)
             value = rmse(
@@ -183,7 +184,10 @@ def main() -> int:
         )
 
     report["all_pass"] = all(c["passes_1e-3"] for c in report["cases"].values())
-    (out_dir / "report.json").write_text(json.dumps(report, indent=2))
+    # the committed artifact is the full-size TPU run; smoke runs must
+    # not clobber it
+    out_name = "report_smoke.json" if small else "report.json"
+    (out_dir / out_name).write_text(json.dumps(report, indent=2))
     print(json.dumps(report))
     return 0 if report["all_pass"] else 1
 
