@@ -2,6 +2,8 @@
 (SURVEY.md section 4 item 4: every Pallas kernel must pass interpret=True
 equality against a pure-jnp reference so CI needs no TPU)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -40,6 +42,16 @@ def _rays(n, extent, seed=0):
 @pytest.mark.parametrize("builder", ["lbvh", "sah"])
 @pytest.mark.parametrize("cull", [True, False])
 def test_pallas_matches_brute(kernel, builder, cull):
+    # wide8 interpret-mode runs cost 16-27 s EACH on this 1-core box; the
+    # default (pre-commit) suite keeps one combo per axis value —
+    # (True, lbvh) and (False, sah) — and defers the two redundant
+    # cross-combos to VRT_SLOW=1 (CI) runs.
+    if (
+        kernel == "wide8"
+        and not os.environ.get("VRT_SLOW")
+        and (cull, builder) in {(False, "lbvh"), (True, "sah")}
+    ):
+        pytest.skip("redundant wide8 cull/builder combo; VRT_SLOW=1 runs it")
     scene = triangle_soup_scene(960, seed=3)
     if builder == "sah":
         geom, bvh = build_bvh_sah(scene.geometry)
@@ -86,9 +98,11 @@ def test_pallas_cornell_and_dead_lanes(kernel):
 
 @pytest.mark.parametrize(
     "any_hit,leaf_den",
-    [(True, 1), (False, 2)],  # production any-hit config + the non-default
-    # closest/den2 corner; the other combos add interpret-mode minutes
-    # without new code paths
+    [
+        (True, 1),  # production any-hit config — always runs
+        pytest.param(False, 2, marks=pytest.mark.slow),  # non-default
+        # closest/den2 corner; 15 s of interpret time, CI-only
+    ],
 )
 def test_phase_split_matches_combined(any_hit, leaf_den):
     """The phase-split body (interior-only trips skip the leaf block and
@@ -113,7 +127,15 @@ def test_phase_split_matches_combined(any_hit, leaf_den):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
-@pytest.mark.parametrize("any_hit", [False, True])
+@pytest.mark.parametrize(
+    "any_hit",
+    [
+        pytest.param(False, marks=pytest.mark.slow),  # closest drain:
+        # 24 s of interpret time, CI-only (the production-shaped any-hit
+        # combo below keeps drain+resume covered in the default suite)
+        True,
+    ],
+)
 def test_drain_compact_matches_single_run(any_hit):
     """Drain+compact rounds (trip cap + survivors-first row packing +
     resume, the production occupancy fix) are bitwise identical to the
@@ -139,7 +161,10 @@ def test_drain_compact_matches_single_run(any_hit):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
-@pytest.mark.parametrize("cull", [True, False])
+@pytest.mark.parametrize(
+    "cull",
+    [pytest.param(True, marks=pytest.mark.slow), False],
+)
 def test_woop_leaf_variant_matches_brute(cull):
     """The plane-based leaf test (traverse_wide8 woop=True) agrees with the
     MT brute-force oracle up to f32 arithmetic: same hit set, t within

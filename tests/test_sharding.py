@@ -15,6 +15,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 from vulkanraytracing_tpu.accel import build_scene_bvh
 from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode
@@ -106,6 +107,7 @@ def test_sharded_equals_single_device():
     assert float(s_stats.rays) == float(m_stats.rays)
 
 
+@pytest.mark.slow  # multi-frame variant of the bit-exact oracle above
 def test_sharded_accumulation_across_frames():
     if not _isolated("test_sharded_accumulation_across_frames"):
         return
@@ -127,9 +129,6 @@ def test_sharded_accumulation_across_frames():
         np.asarray(single.accumulation), np.asarray(sharded.accumulation)
     )
     assert int(sharded.accum_index) == 3
-
-
-import pytest
 
 
 @pytest.mark.slow
@@ -173,6 +172,8 @@ def test_sharded_pallas_production():
     )
 
 
+@pytest.mark.slow  # 34 s solo-subprocess oracle; pixel-parallel (the
+# production sharding mode) stays in the default suite above
 def test_sample_parallel_mode():
     if not _isolated("test_sample_parallel_mode"):
         return

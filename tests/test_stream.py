@@ -92,6 +92,8 @@ def test_merged_global_bvh2_matches_brute(chunked_scene):
     )
 
 
+@pytest.mark.slow  # 70 s end-to-end interpret render; the kernel-level
+# chunked oracles above keep streaming covered in the default suite
 def test_chunked_render_matches_unchunked():
     """End-to-end: a full render through trace dispatch is identical with
     and without chunking (same geometry order is NOT guaranteed, so
