@@ -154,6 +154,29 @@ def render_frame_impl(
 render_frame = hot_jit(render_frame_impl, static_argnames=("cfg",))
 
 
+def _render_span_impl(scene, cfg, camera, state, n: int):
+    """``n`` progressive frames under ONE jit dispatch (lax.scan over the
+    unjitted frame impl).  On the tunneled TPU relay each dispatch pays a
+    round trip, so 1024-spp convergence runs (the parity artifact, long
+    CLI renders) dispatch spans instead of frames: same math, same RNG
+    stream (accum_index rides the carried state), 1/n the dispatches."""
+
+    def step(st, _):
+        st2, stats = render_frame_impl(scene, cfg, camera, st)
+        return st2, stats.rays
+
+    st, rays = jax.lax.scan(step, state, None, length=n)
+    return st, TraceStats(rays=jnp.sum(rays))
+
+
+render_span = hot_jit(_render_span_impl, static_argnames=("cfg", "n"))
+
+# span length for render_progressive: long enough to amortize the relay
+# round trip, short enough to keep compile time and per-dispatch wall
+# time (watchdog) bounded
+_SPAN = 16
+
+
 def render_progressive(
     scene: Scene,
     cfg: Config,
@@ -171,7 +194,11 @@ def render_progressive(
     if state is None:
         state = create_render_state(cfg)
     total_rays = jnp.zeros((), jnp.float32)
-    for _ in range(spp):
+    spans, rest = divmod(spp, _SPAN)
+    for _ in range(spans):
+        state, stats = render_span(scene, cfg, camera, state, _SPAN)
+        total_rays = total_rays + stats.rays
+    for _ in range(rest):
         state, stats = render_frame(scene, cfg, camera, state)
         total_rays = total_rays + stats.rays
     return state, float(total_rays)
