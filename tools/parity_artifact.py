@@ -108,7 +108,36 @@ def main() -> int:
 
     out_dir = Path(__file__).resolve().parent.parent / "artifacts" / "parity"
     out_dir.mkdir(parents=True, exist_ok=True)
+    out_name = "report_smoke.json" if small else "report.json"
+    report_path = out_dir / out_name
+
+    # Incremental checkpoint + resume: a 512^2/1024-spp run spans hours on
+    # the shared relay, and round 3 lost the whole artifact to a mid-run
+    # outage.  Each completed (case, mode) is flushed to the report file
+    # immediately; a rerun skips entries already recorded at the SAME
+    # size/spp (VRT_PARITY_FRESH=1 forces a clean slate).
     report: dict = {"size": size, "spp": spp, "cases": {}}
+    if report_path.exists() and not os.environ.get("VRT_PARITY_FRESH"):
+        try:
+            prev = json.loads(report_path.read_text())
+        except (json.JSONDecodeError, OSError):
+            prev = {}
+        if prev.get("size") == size and prev.get("spp") == spp:
+            # only entries carrying per-case spp/oracle fields are from
+            # this tool version; older-format entries are re-run
+            report["cases"] = {
+                k: v for k, v in prev.get("cases", {}).items() if "spp" in v
+            }
+            if report["cases"]:
+                print(f"resuming: {sorted(report['cases'])} already done",
+                      flush=True)
+
+    def _flush():
+        partial = dict(report)
+        partial["all_pass"] = all(
+            c["passes_1e-3"] for c in report["cases"].values()
+        ) if report["cases"] else False
+        report_path.write_text(json.dumps(partial, indent=2))
 
     cam = CameraConfig(
         position=(0.0, 0.0, 3.2), aspect_ratio=1.0,
@@ -125,6 +154,10 @@ def main() -> int:
         oracle = TraversalMode.BRUTE_FORCE if oracle is None else oracle
         cspp = case_spp or spp
         for mode in ("parity", "hdr"):
+            if f"{name}_{mode}" in report["cases"]:
+                print(f"{name}/{mode}: skipped (resumed from checkpoint)",
+                      flush=True)
+                continue
             base = Config(
                 width=size, height=size, camera=case_cam or cam,
                 parity_quantization=(mode == "parity"),
@@ -157,6 +190,7 @@ def main() -> int:
                 "rmse": value, "passes_1e-3": value <= 1e-3,
                 "spp": cspp, "oracle": oracle.name,
             }
+            _flush()
             print(f"{name}/{mode}: RMSE {value:.2e} "
                   f"({'PASS' if value <= 1e-3 else 'FAIL'} @1e-3)", flush=True)
 
@@ -184,10 +218,9 @@ def main() -> int:
         )
 
     report["all_pass"] = all(c["passes_1e-3"] for c in report["cases"].values())
-    # the committed artifact is the full-size TPU run; smoke runs must
-    # not clobber it
-    out_name = "report_smoke.json" if small else "report.json"
-    (out_dir / out_name).write_text(json.dumps(report, indent=2))
+    # the committed artifact is the full-size TPU run; smoke runs write
+    # report_smoke.json and must not clobber it
+    report_path.write_text(json.dumps(report, indent=2))
     print(json.dumps(report))
     return 0 if report["all_pass"] else 1
 
