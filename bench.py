@@ -1,22 +1,89 @@
 """Benchmark: Mrays/s on the Sponza-scale scene at 1080p (BASELINE.md).
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": "Mrays/s/chip", "value": N, "unit": "Mrays/s", "vs_baseline": N}
 
 vs_baseline is measured / 100 (the >=100 Mrays/s/chip north-star from
-BASELINE.json).  VRT_BENCH_SMALL=1 shrinks everything for a CPU smoke run.
+BASELINE.json).
+
+Outage resilience (the round-3 BENCH was rc=124/parsed=null because the
+TPU relay hung on a bare jax.devices() and the bench emitted NOTHING
+until its final line):
+- every frame's Mrays/s is printed to stderr as it lands;
+- SIGTERM / SIGINT / SIGALRM flush a partial JSON (``"partial": true``)
+  built from the frames measured so far;
+- a watchdog thread fast-fails with a diagnostic JSON if the first
+  device op (device discovery / warmup compile) stalls past its budget,
+  so a relay outage produces an interpretable artifact, not a timeout.
+
+Env knobs: VRT_BENCH_SMALL=1 (CPU smoke), VRT_BENCH_FRAMES=N,
+VRT_BENCH_TRIS=N (e.g. 1048576 exercises the chunked HBM-streaming
+path), VRT_BENCH_DEVICES=N, VRT_BENCH_WATCHDOG_S=N.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
+import threading
 import time
 
 import numpy as np
 
+# ---- outage-proof evidence chain ------------------------------------------
+
+_progress: dict = {"stage": "startup", "per_frame": [], "n_devices": 1}
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _partial_json(reason: str) -> dict:
+    per_frame = _progress["per_frame"]
+    out = {
+        "metric": "Mrays/s/chip",
+        "value": round(max(per_frame), 3) if per_frame else None,
+        "unit": "Mrays/s",
+        "vs_baseline": round(max(per_frame) / 100.0, 4) if per_frame else None,
+        "partial": True,
+        "stage": _progress["stage"],
+        "frames": len(per_frame),
+        "error": reason,
+    }
+    return out
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    _emit(_partial_json(f"interrupted by signal {signum} "
+                        f"during stage '{_progress['stage']}'"))
+    # default handler semantics: exit nonzero but AFTER the flush
+    os._exit(2)
+
+
+def _arm_watchdog(budget_s: float, stage: str) -> threading.Timer:
+    """Fast-fail if a device op stalls: the round-3 failure mode was a
+    relay outage where jax.devices() hung >120 s and the bench produced
+    null.  The artifact must say THAT instead."""
+
+    def fire():
+        _emit(_partial_json(
+            f"watchdog: stage '{stage}' did not complete within "
+            f"{budget_s:.0f}s — TPU relay outage or pathological compile"))
+        os._exit(3)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     small = bool(os.environ.get("VRT_BENCH_SMALL"))
 
     from vulkanraytracing_tpu.accel import build_scene_bvh
@@ -29,6 +96,7 @@ def main() -> None:
         width, height, tris, frames = 256, 144, 20000, 2
     else:
         width, height, tris, frames = 1920, 1080, 262144, 10
+    frames = int(os.environ.get("VRT_BENCH_FRAMES", frames))
     # scene-size override, e.g. VRT_BENCH_TRIS=1048576 exercises the
     # HBM-streaming chunked path (accel.chunks) at Sponza-plus scale
     tris = int(os.environ.get("VRT_BENCH_TRIS", tris))
@@ -49,44 +117,77 @@ def main() -> None:
     camera = Camera(cfg.camera).to_device()
     state = create_render_state(cfg)
 
+    # device discovery is the op that hung in round 3 — watchdog it
+    _progress["stage"] = "device_discovery"
+    wd = _arm_watchdog(float(os.environ.get("VRT_BENCH_WATCHDOG_S", 120)),
+                       "device_discovery")
+    import jax
+
+    devices = jax.devices()
+    wd.cancel()
+    print(f"devices: {devices}", file=sys.stderr, flush=True)
+
     # multi-chip: shard pixel rows over the first N devices (set by
     # `vulkanraytracing_tpu bench --devices N`); identical image + RNG
     # streams, so Mrays/s composes across chips
     n_devices = int(os.environ.get("VRT_BENCH_DEVICES", "1"))
+    _progress["n_devices"] = n_devices
     if n_devices > 1:
         from vulkanraytracing_tpu.parallel import make_render_mesh, shard_render_frame
-        import jax
 
-        mesh = make_render_mesh(jax.devices()[:n_devices])
-        assert height % n_devices == 0
+        if len(devices) < n_devices:
+            raise SystemExit(
+                f"bench: --devices {n_devices} requested but only "
+                f"{len(devices)} JAX devices are visible")
+        if height % n_devices != 0:
+            raise SystemExit(
+                f"bench: height {height} not divisible by {n_devices} devices")
+        mesh = make_render_mesh(devices[:n_devices])
 
         def render_frame(scene, cfg, camera, state, _mesh=mesh):  # noqa: F811
             return shard_render_frame(scene, cfg, camera, state, _mesh)
 
-    # warmup (compile + first frame)
+    # warmup (compile + first frame); budget covers a cold XLA compile of
+    # the full frame (~5 min observed on the wide8 kernel) with headroom
+    _progress["stage"] = "warmup_compile"
+    wd = _arm_watchdog(float(os.environ.get("VRT_BENCH_WARMUP_S", 900)),
+                       "warmup_compile")
+    t0 = time.perf_counter()
     state, stats = render_frame(scene, cfg, camera, state)
-    state.accumulation.block_until_ready()
+    warm_rays = float(stats.rays)  # forces completion through the relay
+    wd.cancel()
+    print(f"warmup: {time.perf_counter() - t0:.1f}s, "
+          f"{warm_rays / 1e6:.1f} Mrays/frame", file=sys.stderr, flush=True)
 
     # best sustained frame, not the mean: the benchmark chip is shared, and
     # co-tenant load stretches individual frames ~3x; the best frame is the
     # stable capability measure.  float(stats.rays) forces per-frame
     # completion (block_until_ready does not actually block on the tunneled
     # TPU relay).
-    per_frame = []
-    for _ in range(frames):
+    _progress["stage"] = "measurement"
+    per_frame = _progress["per_frame"]
+    for i in range(frames):
+        wd = _arm_watchdog(
+            float(os.environ.get("VRT_BENCH_FRAME_S", 300)), f"frame {i}")
         t0 = time.perf_counter()
         state, stats = render_frame(scene, cfg, camera, state)
         rays = float(stats.rays)
         dt = time.perf_counter() - t0
-        per_frame.append(rays / dt / 1e6)
+        wd.cancel()
+        # per-chip metric: divide aggregate throughput by the mesh size so
+        # the headline number stays comparable across --devices settings
+        mrays = rays / dt / 1e6 / n_devices
+        per_frame.append(mrays)
+        print(f"frame {i}: {dt * 1e3:.0f} ms, {mrays:.2f} Mrays/s/chip",
+              file=sys.stderr, flush=True)
 
-    # per-chip metric: divide aggregate throughput by the mesh size so the
-    # headline number stays comparable across --devices settings
-    per_frame = [m / n_devices for m in per_frame]
+    _progress["stage"] = "report"
     mrays = max(per_frame)  # best = stable capability on the shared chip
     # time-to-1024spp (BASELINE.json metric): accumulation frames are
     # identical work, so steady-state frame time extrapolates exactly;
-    # use the best frame for consistency with the headline number
+    # use the best frame for consistency with the headline number.
+    # artifacts/bench/t1024.json holds a DIRECTLY MEASURED 512^2 value
+    # (tools/measure_t1024.py) cross-checking this extrapolation.
     rays_per_frame = float(stats.rays)
     best_frame_s = rays_per_frame / (mrays * n_devices * 1e6)
     out = {
@@ -102,7 +203,7 @@ def main() -> None:
     }
     if n_devices > 1:
         out["devices"] = n_devices
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":
