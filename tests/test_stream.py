@@ -73,6 +73,29 @@ def test_streaming_any_hit_matches_brute(chunked_scene):
     np.testing.assert_array_equal(np.asarray(brute), np.asarray(fast))
 
 
+def test_streaming_any_hit_phase_split_identity(chunked_scene):
+    """intersect_any enables phase_split for the CHUNKED path too; the
+    bitwise phase-split identity (test_pallas covers the single-table
+    kernel) must also hold with n_chunks > 1, where the trip loop
+    interleaves chunk-table DMAs with the split interior/leaf bodies."""
+    bvh = chunked_scene.bvh
+    table, nr, k = traverse_wide8._chunked_args(bvh)
+    assert k == 4
+    o, d, tmin, tmax = _rays(300, extent=11.0, seed=7)
+
+    def run(ps):
+        return traverse_wide8._traverse_wide8_packed(
+            table, nr, bvh.tris, o, d, tmin, tmax,
+            cull_backface=False, any_hit=True,
+            interpret=True, n_chunks=k, any_order=True,
+            phase_split=ps,
+        )
+
+    a, b = run(False), run(True)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_merged_global_bvh2_matches_brute(chunked_scene):
     """The merged BVH2 (top tree over chunk roots + offset chunk trees)
     must serve the non-streaming backends on the same scene object."""

@@ -25,6 +25,8 @@ def main() -> None:
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     mode = sys.argv[3] if len(sys.argv) > 3 else "parity"
+    bounces = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    prod = sys.argv[5] if len(sys.argv) > 5 else "BVH_PALLAS"
 
     import jax
 
@@ -46,6 +48,7 @@ def main() -> None:
         parity_quantization=(mode == "parity"),
         tone_map_before_accumulation=(mode == "parity"),
         alpha_visibility=False,
+        max_bounce_count=bounces,
     )
     scene = cornell_box_scene()
 
@@ -53,7 +56,7 @@ def main() -> None:
     raws = {}
     for backend, trav in (
         ("oracle", TraversalMode.BRUTE_FORCE),
-        ("production", TraversalMode.BVH_PALLAS),
+        ("production", TraversalMode[prod]),
     ):
         s = build_scene_bvh(scene, builder="sah") if backend == "production" \
             else scene
@@ -71,7 +74,7 @@ def main() -> None:
     diff = np.abs(imgs["oracle"] - imgs["production"])
     npx = int((diff.max(axis=-1) > 0).sum())
     rdiff = np.abs(raws["oracle"] - raws["production"])
-    print(f"size={size} spp={spp} mode={mode}: RMSE {value:.3e} "
+    print(f"size={size} spp={spp} mode={mode} bounces={bounces} prod={prod}: RMSE {value:.3e} "
           f"({'PASS' if value <= 1e-3 else 'FAIL'} @1e-3), "
           f"{npx}/{size*size} pixels differ, max |d| {diff.max():.3e}, "
           f"accum max |d| {rdiff.max():.3e}", flush=True)

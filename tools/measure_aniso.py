@@ -27,7 +27,15 @@ import numpy as np
 
 import jax
 
-if jax.default_backend() not in ("tpu",):
+# Force CPU on non-TPU hosts WITHOUT initializing the backend first:
+# jax.default_backend() would initialize whatever platform wins (e.g. GPU),
+# after which the config update is a no-op.  The platforms config is
+# readable uninitialized; hosts that explicitly select a TPU-class
+# platform (JAX_PLATFORMS/jax_platforms naming tpu or axon, as the site
+# hook on this box does) keep it; everything else — including an unset
+# default that could resolve to GPU — runs the measurement on CPU.
+_plat = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+if not any(p in _plat for p in ("tpu", "axon")):
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp

@@ -130,10 +130,23 @@ def _align_leaves(child8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     enc = ~child8[leaf_m]
     starts = enc >> 4
     counts = enc & 15
-    assert counts.max() <= TRIS_PER_ROW, counts.max()
+    # Leaf alignment requires leaves of <= TRIS_PER_ROW (8) tris; the
+    # previous layout handled up to 16 via row continuation.  A builder
+    # configured with leaf_size > 8 must not crash deep in the collapse —
+    # refuse alignment and let the caller keep the unaligned layout.
+    if counts.max() > TRIS_PER_ROW:
+        raise ValueError(
+            f"leaf alignment requires leaf_size <= {TRIS_PER_ROW} "
+            f"(got a {counts.max()}-tri leaf); build with a smaller "
+            f"leaf_size or skip the bvh8 collapse"
+        )
     uniq, inv = np.unique(starts, return_inverse=True)
+    # identical start must imply identical count, or last-write-wins
+    # below would silently mis-size a leaf
+    npairs = np.unique(np.stack([starts, counts], axis=1), axis=0).shape[0]
+    assert npairs == uniq.shape[0], "leaf ranges share a start with differing counts"
     ucounts = np.zeros_like(uniq)
-    ucounts[inv] = counts  # identical start => identical count
+    ucounts[inv] = counts
     n = uniq.shape[0]
     rows = np.repeat(np.arange(n, dtype=np.int64), TRIS_PER_ROW)
     slots = np.tile(np.arange(TRIS_PER_ROW, dtype=np.int64), n)
@@ -164,7 +177,13 @@ def _attach(bvh: BVH, nodes8: np.ndarray, child8: np.ndarray) -> BVH:
 
     import jax.numpy as jnp
 
-    child8, perm8 = _align_leaves(child8)
+    try:
+        child8, perm8 = _align_leaves(child8)
+    except ValueError as e:
+        # leaf_size > TRIS_PER_ROW: the 8-wide table can't row-align these
+        # leaves — fall back to the 2-wide kernel instead of crashing
+        log_d(f"bvh8 collapse rejected: {e}")
+        return bvh
     return bvh._replace(
         nodes8=jnp.asarray(nodes8),
         child8=jnp.asarray(child8),

@@ -122,10 +122,15 @@ def _decode_input(data: str) -> tuple[list, str]:
     return tokens, ""
 
 
-def _read_keys(timeout: float) -> list:
-    """Non-blocking raw input reads; decodes arrows + SGR mouse reports."""
+def _read_keys(timeout: float, carry: str = "") -> tuple[list, str]:
+    """Non-blocking raw input reads; decodes arrows + SGR mouse reports.
+
+    ``carry`` is the undecoded remainder from the previous call: an SGR
+    mouse report split across polls must keep its ``\\x1b[<`` prefix, or
+    the tail bytes (e.g. ``2;7M``) decode as literal keys — digits 1-5
+    trigger speed-tier changes.  Returns (tokens, new carry)."""
     tokens: list = []
-    buf = ""
+    buf = carry
     while select.select([sys.stdin], [], [], timeout)[0]:
         timeout = 0.0
         data = os.read(sys.stdin.fileno(), 1024).decode(errors="ignore")
@@ -136,7 +141,8 @@ def _read_keys(timeout: float) -> list:
     # leftover bare ESC bytes with no continuation = the Escape key
     if buf and set(buf) == {"\x1b"}:
         tokens.extend("ESC" for _ in buf)
-    return tokens
+        buf = ""
+    return tokens, buf
 
 
 class TerminalViewer:
@@ -211,9 +217,10 @@ class TerminalViewer:
         sys.stdout.write("\x1b[2J\x1b[?25l\x1b[?1003h\x1b[?1006h")
         try:
             tty.setcbreak(fd)
+            pending = ""
             while True:
                 t0 = time.time()
-                keys = _read_keys(0.0)
+                keys, pending = _read_keys(0.0, pending)
                 if any(k in ("q", "ESC") for k in keys):
                     break
                 sys.stdout.write(self.frame(keys))

@@ -26,6 +26,7 @@ Estimator parity notes (each preserved deliberately; SURVEY.md section 7):
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.lax
@@ -399,6 +400,10 @@ def pathtrace(
         do_sort = (
             scene.bvh is not None
             and cfg.traversal != TraversalMode.BRUTE_FORCE
+            # debug escape hatch for parity bisection (tools/ab): the sort
+            # is a pure permutation+restore, so disabling it must not
+            # change the image — only wave composition and speed
+            and not os.environ.get("VRT_DEBUG_NO_SORT")
         )
         if do_sort:
             lo, hi = trace._root_bounds(scene.bvh)
