@@ -85,6 +85,13 @@ def main() -> None:
     signal.signal(signal.SIGINT, _on_signal)
 
     small = bool(os.environ.get("VRT_BENCH_SMALL"))
+    if small:
+        # the site hook forces jax_platforms="axon,cpu" via config, which
+        # beats the JAX_PLATFORMS env var — the smoke run must not touch
+        # the TPU relay (same guard as tools/parity_artifact.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from vulkanraytracing_tpu.accel import build_scene_bvh
     from vulkanraytracing_tpu.config import CameraConfig, Config, TraversalMode
@@ -113,6 +120,33 @@ def main() -> None:
         ),
     )
     scene = sponza_like_scene(target_triangles=tris)
+    # Route the measured scene through the real glTF importer (the
+    # reference's default workload is a glTF asset, Config.hpp:26; no
+    # assets ship on this box, so the procedural scene is exported to a
+    # cached .glb once and loaded back): loader -> BVH -> kernel is then
+    # the measured path.  VRT_BENCH_NO_LOADER=1 skips the round trip.
+    if not os.environ.get("VRT_BENCH_NO_LOADER"):
+        from vulkanraytracing_tpu.scene.gltf import load_scene
+        from vulkanraytracing_tpu.scene.gltf_export import export_scene_glb
+
+        _progress["stage"] = "gltf_round_trip"
+        glb = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "artifacts", "bench", f"sponza_like_{tris}.glb",
+        )
+        if not os.path.exists(glb):
+            export_scene_glb(scene, glb)
+        loaded, _cam, _pool = load_scene(glb)
+        assert loaded.geometry.num_triangles == scene.geometry.num_triangles
+        # environment/sun are not part of glTF — attach the procedural
+        # ones (the reference creates Environment separately too,
+        # Engine.cpp:118-119)
+        scene = loaded._replace(
+            environment=scene.environment, direct_light=scene.direct_light,
+        )
+        print(f"scene: loaded {glb} "
+              f"({scene.geometry.num_triangles} tris via scene.gltf)",
+              file=sys.stderr, flush=True)
     scene = build_scene_bvh(scene, builder="sah")
     camera = Camera(cfg.camera).to_device()
     state = create_render_state(cfg)

@@ -246,3 +246,48 @@ def test_loaded_scene_renders(tmp_path):
     img = np.asarray(st.accumulation)
     assert not np.isnan(img).any()
     assert img[16, 16, 0] > img[16, 16, 2]  # red triangle at center
+
+
+def test_export_glb_round_trip(tmp_path):
+    """export_scene_glb -> load_scene preserves the triangle SET (exact
+    vertex coords per material), material factors, doubleSided flags and
+    point lights — the bench routes its procedural scene through this
+    round trip so the importer sits on the measured path."""
+    from vulkanraytracing_tpu.scene.gltf_export import export_scene_glb
+    from vulkanraytracing_tpu.scene.procedural import cornell_box_scene
+
+    scene = cornell_box_scene()
+    path = export_scene_glb(scene, tmp_path / "cornell.glb")
+    loaded, cam, pool = gltf.load_scene(path)
+
+    def tri_keys(s):
+        g = s.geometry
+        v0 = np.asarray(g.v0, np.float32)
+        p1 = v0 + np.asarray(g.e1, np.float32)
+        p2 = v0 + np.asarray(g.e2, np.float32)
+        base = np.asarray(s.materials.base_color_factor, np.float32)
+        emis = np.asarray(s.materials.emission_factor, np.float32)
+        mid = np.asarray(g.material_id, np.int32)
+        keys = np.concatenate(
+            [v0, p1, p2, base[mid][:, :3], emis[mid][:, :3],
+             np.asarray(g.cull_disable, np.float32)[:, None]],
+            axis=1,
+        )
+        order = np.lexsort(keys.T[::-1])
+        return keys[order]
+
+    a, b = tri_keys(scene), tri_keys(loaded)
+    assert a.shape == b.shape
+    # vertex coords are written verbatim as f32; factors round-trip via
+    # JSON floats — allow only tiny JSON-serialization noise
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+    # point lights round-trip (loader bakes intensity into color)
+    pl, ll = scene.point_lights, loaded.point_lights
+    np.testing.assert_allclose(
+        np.asarray(ll.position)[:, :3], np.asarray(pl.position)[:, :3],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ll.color)[:, :3], np.asarray(pl.color)[:, :3], atol=1e-5,
+    )

@@ -197,3 +197,111 @@ def test_woop_leaf_variant_matches_brute(cull):
     np.testing.assert_array_equal(
         np.asarray(brute.backface)[hits], np.asarray(fast.backface)[hits]
     )
+
+
+def _tie_scene():
+    """Geometry with EXACT closest-hit ties: the unit quad at z=0 appears
+    three times with identical vertex ordering (identical v0/e1/e2 rows =>
+    bitwise-identical t/u/v for every ray), plus offset quads so the tree
+    has real structure.  Equal-t ties must resolve to the LOWEST triangle
+    id on every backend — the cornell 512^2 parity FAIL was wall-corner
+    ties resolving by traversal order instead (tools/ab/nee_tap_probe.py)."""
+    from vulkanraytracing_tpu.scene.types import make_trace_geometry
+
+    quad_v = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    quad_i = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    vs, idx = [], []
+    # three coincident copies interleaved with displaced decoys
+    for k, dz in enumerate([0.0, 3.0, 0.0, -3.0, 0.0, 6.0]):
+        v = quad_v + np.array([0, 0, dz], np.float32)
+        vs.append(v)
+        idx.append(quad_i + 4 * k)
+    positions = np.concatenate(vs)
+    indices = np.concatenate(idx)
+    return make_trace_geometry(positions, indices, cull_disable=True)
+
+
+@pytest.mark.parametrize("kernel", ["wide", "wide8", "packet"])
+def test_closest_tie_breaks_to_lowest_id(kernel):
+    from vulkanraytracing_tpu.ops import traverse_packet
+
+    geom = _tie_scene()
+    geom, bvh = build_bvh_sah(geom)
+    n = 128
+    rng = np.random.default_rng(11)
+    # rays from +z toward the triple-coincident quad (plus jittered dirs)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 0] = rng.uniform(-0.8, 0.8, n)
+    o[:, 1] = rng.uniform(-0.8, 0.8, n)
+    o[:, 2] = 2.0
+    d = np.zeros((n, 3), np.float32)
+    d[:, 2] = -1.0
+    d[:, 0] = rng.uniform(-0.05, 0.05, n)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmin, tmax = jnp.zeros((n,)), jnp.full((n,), 1e3)
+
+    brute = intersect.intersect_closest_brute(
+        geom, o, d, tmin, tmax, cull_backface=False
+    )
+    if kernel == "packet":
+        fast = traverse_packet.intersect_closest_packet(
+            geom, bvh, o, d, tmin, tmax, cull_backface=False
+        )
+    else:
+        if kernel == "wide8":
+            bvh = traverse_wide8._with_bvh8(bvh)
+        fast = KERNELS[kernel].intersect_closest(
+            geom, bvh, o, d, tmin, tmax, cull_backface=False
+        )
+    hits = np.asarray(brute.is_hit)
+    assert hits.all()  # every ray hits the quad stack
+    # the WINNING TRIANGLE ID must match bitwise, not just t: equal-t
+    # ties resolve to the lowest id (brute argmin semantics)
+    np.testing.assert_array_equal(
+        np.asarray(fast.tri)[hits], np.asarray(brute.tri)[hits]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.t)[hits], np.asarray(brute.t)[hits]
+    )
+
+
+@pytest.mark.parametrize("kernel", ["wide", "wide8", "packet"])
+def test_closest_tmax_boundary_inclusive(kernel):
+    """A hit EXACTLY at t_max commits (brute tests t <= t_max; the kernels
+    formerly pruned with strict < against the best-t ceiling)."""
+    from vulkanraytracing_tpu.ops import traverse_packet
+
+    geom = _tie_scene()
+    geom, bvh = build_bvh_sah(geom)
+    n = 128
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 2.0
+    o[:, 0] = np.linspace(-0.8, 0.8, n, dtype=np.float32)
+    d = np.zeros((n, 3), np.float32)
+    d[:, 2] = -1.0
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmin = jnp.zeros((n,))
+    probe = intersect.intersect_closest_brute(
+        geom, o, d, tmin, jnp.full((n,), 1e3), cull_backface=False
+    )
+    tmax = probe.t  # exact hit distance becomes the window edge
+    brute = intersect.intersect_closest_brute(
+        geom, o, d, tmin, tmax, cull_backface=False
+    )
+    assert np.asarray(brute.is_hit).all()
+    if kernel == "packet":
+        fast = traverse_packet.intersect_closest_packet(
+            geom, bvh, o, d, tmin, tmax, cull_backface=False
+        )
+    else:
+        if kernel == "wide8":
+            bvh = traverse_wide8._with_bvh8(bvh)
+        fast = KERNELS[kernel].intersect_closest(
+            geom, bvh, o, d, tmin, tmax, cull_backface=False
+        )
+    np.testing.assert_array_equal(
+        np.asarray(brute.is_hit), np.asarray(fast.is_hit)
+    )

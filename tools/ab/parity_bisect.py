@@ -52,14 +52,17 @@ def main() -> None:
     )
     scene = cornell_box_scene()
 
+    # ONE built scene for both: the oracle brute-forces the permuted
+    # geometry, so equal-t ties resolve to the same lowest-id winner as
+    # the kernels' lexicographic (t, id) tie-break
+    built = build_scene_bvh(scene, builder="sah")
     imgs = {}
     raws = {}
     for backend, trav in (
         ("oracle", TraversalMode.BRUTE_FORCE),
         ("production", TraversalMode[prod]),
     ):
-        s = build_scene_bvh(scene, builder="sah") if backend == "production" \
-            else scene
+        s = built
         cfg = base.replace(traversal=trav)
         camera = Camera(cfg.camera).to_device()
         t0 = time.perf_counter()

@@ -145,12 +145,19 @@ def main() -> int:
     )
 
     def case(name, scene_fn, needs_alpha=False, oracle=None, case_spp=None,
-             case_cam=None, prebuild_bvh=False):
+             case_cam=None):
         """oracle=None -> brute force (ground truth).  For at-scale scenes
         where O(R*T) brute force is unaffordable, pass an oracle
         TraversalMode (e.g. the XLA packet BVH backend, itself
-        brute-force-validated on the small cases) and prebuild_bvh=True
-        so both backends traverse the IDENTICAL tree."""
+        brute-force-validated on the small cases).
+
+        The BVH is built ONCE and BOTH backends render the same built
+        scene (the oracle ignores the tree and brute-forces the permuted
+        geometry): equal-t closest-hit ties then resolve to the same
+        lowest-id winner on both sides — the kernels' lexicographic
+        (t, id) tie-break matches brute argmin only in a shared id space
+        (wall-corner ties flipped shading normals when the oracle ran on
+        the unpermuted scene: 7.1e-3 RMSE at 512^2, tools/ab/nee_tap_probe.py)."""
         oracle = TraversalMode.BRUTE_FORCE if oracle is None else oracle
         cspp = case_spp or spp
         for mode in ("parity", "hdr"):
@@ -164,15 +171,11 @@ def main() -> int:
                 tone_map_before_accumulation=(mode == "parity"),
                 alpha_visibility=needs_alpha,
             )
-            built = scene_fn()
-            if prebuild_bvh:
-                built = build_scene_bvh(built, builder="sah")
+            built = build_scene_bvh(scene_fn(), builder="sah")
             imgs = {}
             for backend in ("oracle", "production"):
                 scene = built
                 if backend == "production":
-                    if not prebuild_bvh:
-                        scene = build_scene_bvh(scene, builder="sah")
                     cfg = base.replace(traversal=TraversalMode.BVH_PALLAS)
                 else:
                     cfg = base.replace(traversal=oracle)
@@ -214,7 +217,7 @@ def main() -> int:
         case(
             "sponza262k", lambda: sponza_like_scene(target_triangles=262144),
             oracle=TraversalMode.BVH, case_spp=128,
-            case_cam=sponza_cam, prebuild_bvh=True,
+            case_cam=sponza_cam,
         )
 
     report["all_pass"] = all(c["passes_1e-3"] for c in report["cases"].values())

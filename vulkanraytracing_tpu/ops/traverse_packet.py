@@ -229,7 +229,10 @@ def traverse_packets(
                 & (jnp.abs(det) > tiny)
                 & (mu >= 0.0) & (mv >= 0.0) & (mu + mv <= 1.0)
                 & (mt >= t_min[:, None, None, :])
-                & (mt < best_t[:, None, None, :])
+                # <= (not <): inclusive window upper bound like the brute
+                # oracle's, keeping equal-t ties as candidates for the
+                # deterministic id tie-break below
+                & (mt <= best_t[:, None, None, :])
             )
             if cull_backface:
                 tri_valid &= (det > tiny) | cull_disable[..., None]
@@ -240,17 +243,30 @@ def traverse_packets(
             ck = 2 * LEAF_SIZE
             mt2 = mt.reshape(n_pack, ck, lane)
             new_t = jnp.min(mt2, axis=1)
-            best_ck = jnp.argmin(mt2, axis=1)                # (P, L)
             ck_tri = (base[:, :, None] + k_iota[None, None, :]).reshape(n_pack, ck)
-            onehot = (
-                jnp.arange(ck, dtype=i32)[None, :, None] == best_ck[:, None, :]
+            # lowest id among this visit's equal-t winners (masked min —
+            # also replaces the former argmin+onehot select)
+            sel_tri = jnp.min(
+                jnp.where(mt2 == new_t[:, None, :], ck_tri[:, :, None],
+                          jnp.int32(2**31 - 1)),
+                axis=1,
             )
-            sel_tri = jnp.sum(jnp.where(onehot, ck_tri[:, :, None], 0), axis=1)
-
-            closer = new_t < best_t
-            best_t = jnp.where(closer, new_t, best_t)
-            tri = jnp.where(closer, sel_tri, tri)
-            hit_found |= closer
+            have_new = new_t < _BIG_T
+            if any_hit:
+                take = have_new & (new_t <= best_t)
+            else:
+                # lexicographic (t, id) merge across visits: equal-t ties
+                # resolve to the lowest triangle id, bit-matching the brute
+                # oracle's argmin (cornell wall-corner ties flipped shading
+                # normals between backends — tools/ab/nee_tap_probe.py)
+                cur_id = jnp.where(hit_found, tri, jnp.int32(2**31 - 1))
+                take = have_new & (
+                    (new_t < best_t)
+                    | ((new_t == best_t) & (sel_tri < cur_id))
+                )
+            best_t = jnp.where(take, new_t, best_t)
+            tri = jnp.where(take, sel_tri, tri)
+            hit_found |= take
 
             # --- descent decision ---
             descend_c = child_hit & ~is_leaf                 # (P, C)

@@ -135,6 +135,9 @@ def _unified_table(bvh: BVH) -> tuple[Array, Array]:
 
 def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
     tiny = 1e-30
+    # leaf det epsilon matches the brute oracle (ops.intersect:104);
+    # ``tiny`` stays for the slab-test direction reciprocals
+    det_eps = 1e-20
     big = 3.0e38
 
     def kernel(
@@ -254,6 +257,12 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
             def coll(i):
                 return lf[:, i : i + 1]
 
+            # current winner's id as f32 for the lexicographic (t, id)
+            # tie-break (see traverse_wide8.leaf_math); no winner => +inf
+            cur_tid = jnp.where(
+                hit_found, tri_best.astype(jnp.float32), jnp.float32(3.0e38)
+            )
+
             for k in range(LEAF_TESTS):
                 b = k * NODE_SLOTS
                 v0x, v0y, v0z = coll(b + 0), coll(b + 1), coll(b + 2)
@@ -267,7 +276,7 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
                 pvy = dz * e2x - dx * e2z
                 pvz = dx * e2y - dy * e2x
                 det = e1x * pvx + e1y * pvy + e1z * pvz
-                inv_det = 1.0 / jnp.where(jnp.abs(det) < tiny, 1.0, det)
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
                 tvx = ox - v0x
                 tvy = oy - v0y
                 tvz = oz - v0z
@@ -281,12 +290,17 @@ def _kernel(cull_backface: bool, any_hit: bool, nr_rows: int, W: int):
                 valid = (
                     il_m
                     & candidate
-                    & (jnp.abs(det) > tiny)
+                    & (jnp.abs(det) > det_eps)
                     & (mu >= 0.0) & (mv >= 0.0) & (mu + mv <= 1.0)
-                    & (mt >= t_min) & (mt < best)
+                    # <= + id tie-break: equal-t ties resolve to the lowest
+                    # triangle id, matching the brute oracle's argmin
+                    & (mt >= t_min) & (mt <= best)
                 )
                 if cull_backface:
-                    valid &= (det > tiny) | cull_disable
+                    valid &= (det > det_eps) | cull_disable
+                if not any_hit:
+                    valid &= (mt < best) | (tid < cur_tid)
+                    cur_tid = jnp.where(valid, tid, cur_tid)
 
                 best = jnp.where(valid, mt, best)
                 tri_best = jnp.where(valid, tid.astype(jnp.int32), tri_best)

@@ -235,6 +235,10 @@ def _kernel(
     chunks, so wbest doubles as a cross-chunk tightening t_max.  Cursors
     restart at each chunk's root."""
     tiny = 1e-30
+    # det epsilon for the leaf triangle tests: matches the brute oracle's
+    # (ops.intersect:104) so grazing-incidence accepts/rejects identically;
+    # ``tiny`` stays 1e-30 for the slab-test direction reciprocals
+    det_eps = 1e-20
     big = 3.0e38
 
     def kernel(*refs):
@@ -412,6 +416,15 @@ def _kernel(
             def coll(i):
                 return lf[:, i : i + 1]
 
+            if not any_hit:
+                # current winner's id as f32 (ids < 2^24 exact) for the
+                # lexicographic (t, id) tie-break below; no winner => +inf
+                # so any equal-t candidate takes the slot
+                cur_tid = jnp.where(
+                    hit_found, tri_best.astype(jnp.float32),
+                    jnp.float32(3.0e38),
+                )
+
             for k in range(LEAF_TESTS):
                 b = k * TRI_SLOTS
                 if woop:
@@ -426,7 +439,7 @@ def _kernel(
 
                     den = nx_ * dx + ny_ * dy + nz_ * dz
                     num = -(nx_ * ox + ny_ * oy + nz_ * oz + dn_)
-                    inv = 1.0 / jnp.where(jnp.abs(den) < tiny, 1.0, den)
+                    inv = 1.0 / jnp.where(jnp.abs(den) < det_eps, 1.0, den)
                     mt = num * inv
                     px = ox + mt * dx
                     py = oy + mt * dy
@@ -439,9 +452,9 @@ def _kernel(
                         coll(b + 8) * px + coll(b + 9) * py
                         + coll(b + 10) * pz + coll(b + 11)
                     )
-                    det_pos = den < -tiny      # MT det > tiny
+                    det_pos = den < -det_eps   # MT det > det_eps
                     backface = den > 0.0       # MT det < 0
-                    det_ok = jnp.abs(den) > tiny
+                    det_ok = jnp.abs(den) > det_eps
                 else:
                     v0x, v0y, v0z = coll(b + 0), coll(b + 1), coll(b + 2)
                     e1x, e1y, e1z = coll(b + 3), coll(b + 4), coll(b + 5)
@@ -456,7 +469,7 @@ def _kernel(
                     pvy = dz * e2x - dx * e2z
                     pvz = dx * e2y - dy * e2x
                     det = e1x * pvx + e1y * pvy + e1z * pvz
-                    inv_det = 1.0 / jnp.where(jnp.abs(det) < tiny, 1.0, det)
+                    inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
                     tvx = ox - v0x
                     tvy = oy - v0y
                     tvz = oz - v0z
@@ -466,23 +479,37 @@ def _kernel(
                     qvz = tvx * e1y - tvy * e1x
                     mv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
                     mt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    det_pos = det > tiny
+                    det_pos = det > det_eps
                     backface = det < 0.0
-                    det_ok = jnp.abs(det) > tiny
+                    det_ok = jnp.abs(det) > det_eps
 
                 valid = (
                     il_m
                     & candidate
                     & det_ok
                     & (mu >= 0.0) & (mv >= 0.0) & (mu + mv <= 1.0)
-                    & (mt >= t_min) & (mt < best)
+                    # <= (not <): the window upper bound is inclusive like
+                    # the brute oracle's, and equal-t ties stay candidates
+                    # for the deterministic id tie-break below
+                    & (mt >= t_min) & (mt <= best)
                 )
                 if cull_backface:
                     valid &= det_pos | cull_disable
 
+                if not any_hit:
+                    # lexicographic (t, id) winner: equal-t ties resolve to
+                    # the LOWEST triangle id, bit-matching the brute-force
+                    # oracle's argmin on the same (permuted) geometry.
+                    # Order-independent, so trips/chunks/drain-resume all
+                    # converge to the same winner (tools/ab/nee_tap_probe.py:
+                    # cornell wall-corner ties flipped shading normals
+                    # between backends, 7.1e-3 RMSE at 512^2/1024 spp).
+                    valid &= (mt < best) | (tid < cur_tid)
+
                 best = jnp.where(valid, mt, best)
                 hit_found |= valid
                 if not any_hit:
+                    cur_tid = jnp.where(valid, tid, cur_tid)
                     tri_best = jnp.where(valid, tid.astype(jnp.int32), tri_best)
                     # commit u/v/backface with the winning hit so the host
                     # epilogue needs no tri-table gather + re-intersection

@@ -53,6 +53,14 @@ class TraceStats(NamedTuple):
     rays: Array  # () f32 — total rays traced (material + visibility)
 
 
+# --- debug tap (tools/ab/nee_tap_probe.py) ------------------------------
+# When VRT_DEBUG_NEE_TAP is set, pathtrace returns a THIRD value: the
+# bounce-0 NEE wavefront (inputs AND occlusion verdicts, as computed
+# INSIDE the full jitted program).  This exists to bisect in-context
+# divergence that standalone kernel probes cannot see (e.g. fusion/FMA
+# differences between the oracle and production graphs).
+
+
 def primary_rays(
     camera: CameraPT,
     px: Array,
@@ -199,6 +207,7 @@ def pathtrace(
     # ONE scatter instead of an inverse-permutation chain
     ray_slot = jnp.arange(R, dtype=jnp.int32)
     sorted_any = False
+    nee_tap: dict | None = None
 
     if scene.has_point_lights:
         pl_t, pl_color = intersect_point_light_spheres(
@@ -331,7 +340,7 @@ def pathtrace(
         # that need the global sort, ~2.5x faster sorted).
         def nee_trace(irradiance, rays_cast, shadow_origin, sh_tmax_sun,
                       sun_contrib, ldir, sh_tmax_pl, pl_contrib,
-                      flip_pl=False):
+                      flip_pl=False, tap=None):
             nee_alive = sh_tmax_sun > 0.0  # pre-RR aliveness
             if scene.has_point_lights:
                 if flip_pl:
@@ -369,6 +378,14 @@ def pathtrace(
                     jnp.concatenate([pl_tmax, sh_tmax_sun]),
                 )
                 occluded, sun_occluded = occ[:R], occ[R:]
+                if tap is not None:
+                    tap.update(
+                        pl_o=pl_o, pl_d=pl_d, pl_tmin=pl_tmin,
+                        pl_tmax=pl_tmax, sun_o=shadow_origin,
+                        sun_tmax=sh_tmax_sun, occluded=occluded,
+                        sun_occluded=sun_occluded,
+                        pl_contrib=pl_contrib, sun_contrib=sun_contrib,
+                    )
                 rays_cast += 2.0 * jnp.sum(nee_alive.astype(f32))
                 irradiance += jnp.where(occluded[:, None], 0.0, pl_contrib)
             else:
@@ -382,9 +399,13 @@ def pathtrace(
             return irradiance, rays_cast
 
         if bounce == 0:
+            if os.environ.get("VRT_DEBUG_NEE_TAP") and scene.has_point_lights:
+                nee_tap = dict(px=px, py=py, hit_t=hit.t, hit_tri=hit.tri,
+                               hit_u=hit.u, hit_v=hit.v, p=p,
+                               n_shading=n_shading)
             irradiance, rays_cast = nee_trace(
                 irradiance, rays_cast, shadow_origin, sh_tmax_sun,
-                sun_contrib, ldir, sh_tmax_pl, pl_contrib,
+                sun_contrib, ldir, sh_tmax_pl, pl_contrib, tap=nee_tap,
             )
 
         # Wavefront reorder: permute the ENTIRE live state (from bounce 1
@@ -455,4 +476,6 @@ def pathtrace(
         color = jnp.zeros_like(color).at[ray_slot].set(
             color, unique_indices=True
         )
+    if nee_tap is not None:
+        return color, TraceStats(rays=rays_cast), nee_tap
     return color, TraceStats(rays=rays_cast)
