@@ -5,11 +5,18 @@ TRACE time, so flipping them inside a long-lived process silently reuses
 the cached executable; see KERNEL_NOTES "drain abort" entry).
 
   VRT_DRAIN_CLOSEST=256,1024 VRT_DRAIN_ANYHIT=off \
-      python tools/ab/drain_repro.py [WIDTHxHEIGHT] [tris]
+      python tools/ab/drain_repro.py [WIDTHxHEIGHT] [tris] [bounces]
 
 Renders ONE bench-scene frame at the given size on the TPU and prints
 PASS/ABORT, so the failing kernel (closest vs any-hit) and the failing
 scale can be isolated in ~2-3 min per attempt instead of a full bench.
+
+Bisect axes beyond the caps:
+- [bounces] (default 4) shrinks the number of traversal call sites in
+  the frame program (each capped site compiles fresh + N resume
+  kernels, so kernel count is a prime suspect for the abort);
+- VRT_DEBUG_NO_SORT=1 removes the riding wavefront sort between
+  bounces (the other large non-kernel block in the frame program).
 """
 
 from __future__ import annotations
@@ -24,13 +31,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent.parent))
 def main() -> int:
     size = sys.argv[1] if len(sys.argv) > 1 else "1920x1080"
     tris = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
+    bounces = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     width, height = (int(x) for x in size.split("x"))
 
     import vulkanraytracing_tpu.ops.traverse_wide8 as tw8
 
     print(
         f"caps: closest={tw8.CLOSEST_DRAIN_CAPS} "
-        f"anyhit={tw8.ANYHIT_DRAIN_CAPS}  {width}x{height} tris={tris}",
+        f"anyhit={tw8.ANYHIT_DRAIN_CAPS}  {width}x{height} tris={tris} "
+        f"bounces={bounces}",
         flush=True,
     )
 
@@ -45,6 +54,7 @@ def main() -> int:
         height=height,
         ray_chunk_size=1 << 22,
         traversal=TraversalMode.BVH_PALLAS,
+        max_bounce_count=bounces,
         camera=CameraConfig(
             position=(-16.0, 3.0, 0.0),
             target=(0.0, 3.0, 0.0),

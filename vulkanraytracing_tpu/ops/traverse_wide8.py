@@ -952,7 +952,14 @@ def _traverse_wide8_packed(
         assert not row_trips, "diagnostics and drain are exclusive"
         i32 = jnp.int32
 
+        split_gather = _os.environ.get("VRT_DRAIN_SPLITGATHER", "0") == "1"
+
         def permute_rows(perm, arrs):
+            if split_gather:
+                # bisect/workaround axis for the full-frame TPU abort: one
+                # gather per array instead of bitcast+concat+one wide
+                # gather (identical semantics, different lowering)
+                return [a[perm] for a in arrs]
             cols = [
                 a if a.dtype == jnp.int32
                 else jax.lax.bitcast_convert_type(a, jnp.int32)
@@ -975,9 +982,24 @@ def _traverse_wide8_packed(
         outs = fresh(table, *blocks, cap0)
         best, tri, hit_i, u_k, v_k, bf_k, iters, meta_s, stack_s = outs
         acc = jnp.arange(pool_rows, dtype=i32)
+        # coherence re-key: sort survivors by their CURRENT cursor, not
+        # just liveness — resumed waves then share a BVH region (leaf
+        # cursors are negative, interiors ascend by node id), shrinking
+        # the union visit set each wave pays.  Any permutation is
+        # correctness-neutral (inverted below); this one rides the
+        # argsort the compaction already pays.  KERNEL_NOTES round 3
+        # measured subtree-major re-keys at 1.72x kernel-side but the
+        # standalone sort ate it; here the sort is free.
+        rekey = _os.environ.get("VRT_DRAIN_REKEY", "1") == "1"
         for cap in (*drain_caps[1:], MAX_ITERS):
-            live = (meta_s[:, 0] != DONE).astype(i32)
-            perm = jnp.argsort(-live, stable=True).astype(i32)
+            live_m = meta_s[:, 0] != DONE
+            if rekey:
+                key = jnp.where(live_m, meta_s[:, 0], jnp.int32(2**31 - 1))
+                perm = jnp.argsort(key, stable=True).astype(i32)
+            else:
+                perm = jnp.argsort(
+                    -live_m.astype(i32), stable=True
+                ).astype(i32)
             state = permute_rows(
                 perm,
                 blocks + [best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s],
