@@ -32,4 +32,14 @@ Layer map (mirrors SURVEY.md section 1 of the reference):
 
 __version__ = "0.1.0"
 
+from vulkanraytracing_tpu.core.jit_utils import enable_compile_cache
+
+# Persistent XLA executable cache: on the tunneled TPU relay a full-frame
+# compile costs 5-25 minutes of wall clock, so every re-run of an
+# identical program (bench re-runs, parity resumes, A/B harness restarts
+# after a relay outage) should pay it once.  The reference's analog is
+# runtime-compiled GLSL cached by the Vulkan driver's pipeline cache
+# (ShaderManager.cpp compiles per run; the driver caches ISA).
+enable_compile_cache()
+
 from vulkanraytracing_tpu.config import Config, RenderMode  # noqa: F401

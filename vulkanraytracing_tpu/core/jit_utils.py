@@ -14,6 +14,29 @@ import jax
 SCOPED_VMEM_KIB = 96 * 1024  # 96 MB of scoped VMEM for kernel-carrying jits
 
 
+def enable_compile_cache() -> None:
+    """Point jax's persistent compilation cache at a repo-local dir
+    (unless the user already configured one).  Serialization failures on
+    exotic PJRT plugins downgrade to plain recompiles with a warning, so
+    this is safe to enable unconditionally."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # explicit user choice wins
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(root, ".jax_tpu_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without the knobs: just skip
+
+
 def tpu_compiler_options() -> dict | None:
     try:
         if jax.default_backend() == "tpu":

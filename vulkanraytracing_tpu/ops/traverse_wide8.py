@@ -79,16 +79,17 @@ def _caps_env(name: str, default: tuple) -> tuple:
     return tuple(int(x) for x in v.split(","))
 
 
+import os as _os
+
 CLOSEST_DRAIN_CAPS = _caps_env("VRT_DRAIN_CLOSEST", ())
 ANYHIT_DRAIN_CAPS = _caps_env("VRT_DRAIN_ANYHIT", ())
+DRAIN_REKEY_DEFAULT = _os.environ.get("VRT_DRAIN_REKEY", "1") == "1"
 VMEM_TRI_LIMIT = 400_000
 
 # leaf-test selection: plane-based (_woop_records, ~30% fewer leaf VPU
 # ops) vs Moller-Trumbore (bit-matches the brute-force oracle).  Opt-in
 # until the TPU A/B confirms the win; applies to the unchunked path only
 # (chunked tables are prebuilt at scene-build time with MT records).
-import os as _os
-
 WOOP_DEFAULT = _os.environ.get("VRT_WOOP", "0") == "1"
 
 
@@ -843,6 +844,7 @@ def _traverse_wide8_packed(
     leaf_den: int = 1,
     row_trips: bool = False,
     drain_caps: tuple = (),
+    drain_rekey: bool = True,
 ):
     r_orig = o.shape[0]
     # interpret mode pays per-row python cost; keep the resident set small
@@ -990,7 +992,7 @@ def _traverse_wide8_packed(
         # argsort the compaction already pays.  KERNEL_NOTES round 3
         # measured subtree-major re-keys at 1.72x kernel-side but the
         # standalone sort ate it; here the sort is free.
-        rekey = _os.environ.get("VRT_DRAIN_REKEY", "1") == "1"
+        rekey = drain_rekey
         for cap in (*drain_caps[1:], MAX_ITERS):
             live_m = meta_s[:, 0] != DONE
             if rekey:
@@ -1060,6 +1062,7 @@ _traverse_wide8_jitted = hot_jit(
         "nr_rows", "cull_backface", "any_hit", "interpret",
         "return_counters", "n_chunks", "woop", "any_order",
         "phase_split", "leaf_den", "row_trips", "drain_caps",
+        "drain_rekey",
     ),
 )
 
@@ -1113,7 +1116,7 @@ def intersect_closest(
         o, d, t_min, t_max,
         cull_backface=cull_backface, any_hit=False,
         interpret=interpret, n_chunks=k, woop=woop,
-        drain_caps=caps,
+        drain_caps=caps, drain_rekey=DRAIN_REKEY_DEFAULT,
     )
 
 
@@ -1146,6 +1149,6 @@ def intersect_any(
         cull_backface=False, any_hit=True,
         interpret=interpret, n_chunks=k, woop=woop,
         any_order=True, phase_split=True,
-        drain_caps=caps,
+        drain_caps=caps, drain_rekey=DRAIN_REKEY_DEFAULT,
     )
     return hit.t < _BIG_T
