@@ -38,11 +38,11 @@ table8, nr8 = tw8._unified_table8(bvh)
 table8 = jax.device_put(table8)
 
 
-def closest(caps, rekey):
+def closest(caps, rekey, split=False):
     def f(o, d, a, b):
         return tw8._traverse_wide8_packed(
             table8, nr8, bvh.tris, o, d, a, b,
-            cull_backface=True, any_hit=False,
+            cull_backface=True, any_hit=False, phase_split=split,
             drain_caps=caps, drain_rekey=rekey)
     return f
 
@@ -64,11 +64,15 @@ sun_dir = jnp.broadcast_to(
     / jnp.linalg.norm(scene.direct_light.direction[:3]), (R, 3))
 
 res = {}
-variants = (("nocap", (), True), ("live", closest_caps, False),
-            ("rekey", closest_caps, True))
-for name, caps, rk in variants:
+variants = (("nocap", (), True, False), ("live", closest_caps, False, False),
+            ("rekey", closest_caps, True, False),
+            # round-3 measured phase-split closest as a wash because waves
+            # mix phases nearly every trip; after the rekey compaction the
+            # resumed waves are phase-grouped, so re-test the combination
+            ("rekeysplit", closest_caps, True, True))
+for name, caps, rk, sp in variants:
     res[f"{name}_mat"] = timed(
-        f"closest mat {name}", closest(caps, rk), mo, md, mtmin, mtmax)
+        f"closest mat {name}", closest(caps, rk, sp), mo, md, mtmin, mtmax)
 variants_a = (("nocap", (), True), ("live", anyhit_caps, False),
               ("rekey", anyhit_caps, True))
 for name, caps, rk in variants_a:
@@ -81,7 +85,11 @@ for name, caps, rk in variants_a:
 a = closest((), True)(mo, md, mtmin, mtmax)
 b = closest(closest_caps, True)(mo, md, mtmin, mtmax)
 same = all(bool(jnp.all(x == y)) for x, y in zip(a, b))
-for k in ("mat", "sun", "pt"):
+print(f"mat: live {res['nocap_mat']/res['live_mat']:.2f}x  "
+      f"rekey {res['nocap_mat']/res['rekey_mat']:.2f}x  "
+      f"rekey+split {res['nocap_mat']/res['rekeysplit_mat']:.2f}x  "
+      f"(vs nocap)", flush=True)
+for k in ("sun", "pt"):
     print(f"{k}: live {res[f'nocap_{k}']/res[f'live_{k}']:.2f}x  "
           f"rekey {res[f'nocap_{k}']/res[f'rekey_{k}']:.2f}x  "
           f"(vs nocap)", flush=True)
