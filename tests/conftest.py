@@ -19,7 +19,9 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update(
+    "jax_num_cpu_devices", int(os.environ.get("VRT_TEST_DEVICES", "8"))
+)
 jax.config.update("jax_enable_x64", False)
 
 # This box has ONE cpu core, so XLA compile time dominates suite wall time.

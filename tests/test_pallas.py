@@ -42,16 +42,16 @@ def _rays(n, extent, seed=0):
 @pytest.mark.parametrize("builder", ["lbvh", "sah"])
 @pytest.mark.parametrize("cull", [True, False])
 def test_pallas_matches_brute(kernel, builder, cull):
-    # wide8 interpret-mode runs cost 16-27 s EACH on this 1-core box; the
-    # default (pre-commit) suite keeps one combo per axis value —
-    # (True, lbvh) and (False, sah) — and defers the two redundant
-    # cross-combos to VRT_SLOW=1 (CI) runs.
+    # interpret-mode runs cost 5-27 s EACH on this 1-core box (jax TRACE
+    # time dominates — the persistent compile cache can't help tracing);
+    # the default (pre-commit) suite keeps one combo per axis value —
+    # (True, lbvh) and (False, sah) — for EVERY kernel generation and
+    # defers the two redundant cross-combos to VRT_SLOW=1 (CI) runs.
     if (
-        kernel == "wide8"
-        and not os.environ.get("VRT_SLOW")
+        not os.environ.get("VRT_SLOW")
         and (cull, builder) in {(False, "lbvh"), (True, "sah")}
     ):
-        pytest.skip("redundant wide8 cull/builder combo; VRT_SLOW=1 runs it")
+        pytest.skip("redundant cull/builder combo; VRT_SLOW=1 runs it")
     scene = triangle_soup_scene(960, seed=3)
     if builder == "sah":
         geom, bvh = build_bvh_sah(scene.geometry)
@@ -163,7 +163,11 @@ def test_drain_compact_matches_single_run(any_hit):
 
 @pytest.mark.parametrize(
     "cull",
-    [pytest.param(True, marks=pytest.mark.slow), False],
+    # woop leaf tests are OPT-IN (VRT_WOOP=1, default off): both params
+    # live in the VRT_SLOW suite; the default suite covers the default
+    # MT leaf path everywhere
+    [pytest.param(True, marks=pytest.mark.slow),
+     pytest.param(False, marks=pytest.mark.slow)],
 )
 def test_woop_leaf_variant_matches_brute(cull):
     """The plane-based leaf test (traverse_wide8 woop=True) agrees with the
@@ -223,7 +227,13 @@ def _tie_scene():
     return make_trace_geometry(positions, indices, cull_disable=True)
 
 
-@pytest.mark.parametrize("kernel", ["wide", "wide8", "packet"])
+@pytest.mark.parametrize("kernel", [
+    pytest.param("wide", marks=pytest.mark.slow),  # gen-3 kernel:
+    # tie-break/window logic is shared with wide8; production
+    # coverage stays default, the non-default generation moves to
+    # the VRT_SLOW suite (trace time is the suite bottleneck)
+    "wide8", "packet",
+])
 def test_closest_tie_breaks_to_lowest_id(kernel):
     from vulkanraytracing_tpu.ops import traverse_packet
 
@@ -268,7 +278,13 @@ def test_closest_tie_breaks_to_lowest_id(kernel):
     )
 
 
-@pytest.mark.parametrize("kernel", ["wide", "wide8", "packet"])
+@pytest.mark.parametrize("kernel", [
+    pytest.param("wide", marks=pytest.mark.slow),  # gen-3 kernel:
+    # tie-break/window logic is shared with wide8; production
+    # coverage stays default, the non-default generation moves to
+    # the VRT_SLOW suite (trace time is the suite bottleneck)
+    "wide8", "packet",
+])
 def test_closest_tmax_boundary_inclusive(kernel):
     """A hit EXACTLY at t_max commits (brute tests t <= t_max; the kernels
     formerly pruned with strict < against the best-t ceiling)."""

@@ -347,6 +347,9 @@ def intersect_closest_packet(
     cull_backface: bool = True,
     lane: int = LANE,
 ) -> Hit:
+    from vulkanraytracing_tpu.ops.traverse_wide import _canon_rays
+
+    o, d, t_min, t_max = _canon_rays(o, d, t_min, t_max)
     del geom  # geometry lives pre-packed in bvh.tris
     hit, _ = traverse_packets(
         bvh, o, d, t_min, t_max, cull_backface=cull_backface, any_hit=False,
@@ -364,6 +367,9 @@ def intersect_any_packet(
     t_max: Array,
     lane: int = LANE,
 ) -> Array:
+    from vulkanraytracing_tpu.ops.traverse_wide import _canon_rays
+
+    o, d, t_min, t_max = _canon_rays(o, d, t_min, t_max)
     del geom
     hit, _ = traverse_packets(
         bvh, o, d, t_min, t_max, cull_backface=False, any_hit=True, lane=lane

@@ -613,6 +613,9 @@ def intersect_closest(
     t_max: Array,
     cull_backface: bool = True,
 ) -> Hit:
+    from vulkanraytracing_tpu.ops.traverse_wide import _canon_rays
+
+    o, d, t_min, t_max = _canon_rays(o, d, t_min, t_max)
     del geom
     if not subpacket_supported(bvh):
         from vulkanraytracing_tpu.ops import traverse_packet
@@ -637,6 +640,9 @@ def intersect_any(
     t_min: Array,
     t_max: Array,
 ) -> Array:
+    from vulkanraytracing_tpu.ops.traverse_wide import _canon_rays
+
+    o, d, t_min, t_max = _canon_rays(o, d, t_min, t_max)
     del geom
     if not subpacket_supported(bvh):
         from vulkanraytracing_tpu.ops import traverse_packet

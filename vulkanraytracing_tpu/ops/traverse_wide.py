@@ -432,6 +432,18 @@ def _pad_to(x: Array, n: int, value) -> Array:
     )
 
 
+def _canon_rays(o, d, t_min, t_max):
+    """Canonicalize ray dtypes (f32, weak_type stripped) at the public
+    entries: a weak-typed t_max (e.g. from ``jnp.full((n,), 1e3)``) and a
+    computed strong-typed one would otherwise RETRACE the whole kernel —
+    and through the TPU relay a retrace is a 5-25 minute recompile."""
+
+    def f(x):
+        return jax.lax.convert_element_type(jnp.asarray(x), jnp.float32)
+
+    return f(o), f(d), f(t_min), f(t_max)
+
+
 # not @jax.jit: nested-jit executable-resolution bug + top-level-only
 # compiler options (see core.jit_utils)
 def _traverse_wide_packed(
@@ -556,6 +568,7 @@ def intersect_closest(
     cull_backface: bool = True,
 ) -> Hit:
     del geom
+    o, d, t_min, t_max = _canon_rays(o, d, t_min, t_max)
     if not wide_supported(bvh):
         from vulkanraytracing_tpu.ops import traverse_packet
 
@@ -580,6 +593,7 @@ def intersect_any(
     t_max: Array,
 ) -> Array:
     del geom
+    o, d, t_min, t_max = _canon_rays(o, d, t_min, t_max)
     if not wide_supported(bvh):
         from vulkanraytracing_tpu.ops import traverse_packet
 

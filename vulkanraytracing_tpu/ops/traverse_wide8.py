@@ -1094,6 +1094,9 @@ def intersect_closest(
     t_max: Array,
     cull_backface: bool = True,
 ) -> Hit:
+    from vulkanraytracing_tpu.ops.traverse_wide import _canon_rays
+
+    o, d, t_min, t_max = _canon_rays(o, d, t_min, t_max)
     bvh = _with_bvh8(bvh)
     if not wide8_supported(bvh):
         from vulkanraytracing_tpu.ops import traverse_wide
@@ -1128,6 +1131,9 @@ def intersect_any(
     t_min: Array,
     t_max: Array,
 ) -> Array:
+    from vulkanraytracing_tpu.ops.traverse_wide import _canon_rays
+
+    o, d, t_min, t_max = _canon_rays(o, d, t_min, t_max)
     bvh = _with_bvh8(bvh)
     if not wide8_supported(bvh):
         from vulkanraytracing_tpu.ops import traverse_wide
