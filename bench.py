@@ -182,9 +182,11 @@ def main() -> None:
             return shard_render_frame(scene, cfg, camera, state, _mesh)
 
     # warmup (compile + first frame); budget covers a cold XLA compile of
-    # the full frame (~5 min observed on the wide8 kernel) with headroom
+    # the full frame (measured 300 s in a fast relay window, 1683 s in a
+    # slow one — the persistent compile cache makes repeat runs skip it,
+    # but the budget must survive a cold cache on a congested relay)
     _progress["stage"] = "warmup_compile"
-    wd = _arm_watchdog(float(os.environ.get("VRT_BENCH_WARMUP_S", 900)),
+    wd = _arm_watchdog(float(os.environ.get("VRT_BENCH_WARMUP_S", 2700)),
                        "warmup_compile")
     t0 = time.perf_counter()
     state, stats = render_frame(scene, cfg, camera, state)
