@@ -27,6 +27,7 @@ import time
 from pathlib import Path
 
 import numpy as np
+from PIL import Image
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -179,10 +180,29 @@ def main() -> int:
                     cfg = base.replace(traversal=TraversalMode.BVH_PALLAS)
                 else:
                     cfg = base.replace(traversal=oracle)
+                pre = "smoke_" if small else ""
+                png_path = out_dir / f"{pre}{name}_{mode}_{backend}.png"
+                # Crash resilience: a kill between a case's oracle and
+                # production renders loses the (hours-long) oracle.  The
+                # resume orchestrator may opt in to reusing a backend PNG
+                # written AFTER a trusted epoch (the start of the run whose
+                # code it trusts); write_png only lands after a complete
+                # render, and RMSE is computed on the u8 PNG values, so the
+                # reload is lossless.  Stale PNGs from older-code runs sit
+                # before the epoch and are re-rendered.
+                reuse_after = float(os.environ.get("VRT_PARITY_REUSE_AFTER",
+                                                   "inf") or "inf")
+                if (png_path.exists()
+                        and png_path.stat().st_mtime > reuse_after):
+                    img = np.asarray(Image.open(png_path).convert("RGB"))
+                    if img.shape[:2] == (size, size):
+                        imgs[backend] = img
+                        print(f"{name}/{mode}/{backend}: reused "
+                              f"{png_path.name} (post-epoch)", flush=True)
+                        continue
                 img, rays, dt = _render(scene, cfg, cspp)
                 imgs[backend] = img
-                pre = "smoke_" if small else ""
-                write_png(out_dir / f"{pre}{name}_{mode}_{backend}.png", img)
+                write_png(png_path, img)
                 print(f"{name}/{mode}/{backend}: {rays / 1e6:.1f} Mrays "
                       f"in {dt:.1f}s", flush=True)
             value = rmse(
@@ -197,9 +217,6 @@ def main() -> int:
             print(f"{name}/{mode}: RMSE {value:.2e} "
                   f"({'PASS' if value <= 1e-3 else 'FAIL'} @1e-3)", flush=True)
 
-    case("cornell", cornell_box_scene)
-    case("textured", _textured_quad_scene, needs_alpha=False)
-
     # At-scale case: the 262k-tri bench scene, production wide8 Pallas
     # kernel (with drain+compact) vs the XLA packet BVH backend over the
     # IDENTICAL tree.  Brute force is O(R*T) and unaffordable at 262k
@@ -213,12 +230,25 @@ def main() -> int:
         position=(-16.0, 3.0, 0.0), target=(0.0, 3.0, 0.0),
         aspect_ratio=1.0, x_fov=float(np.radians(80.0)),
     )
+    case_list = [
+        ("cornell", lambda: case("cornell", cornell_box_scene)),
+        ("textured", lambda: case("textured", _textured_quad_scene,
+                                  needs_alpha=False)),
+    ]
     if not small:  # TPU-scale case; interpret-mode Pallas can't afford it
-        case(
+        case_list.append(("sponza262k", lambda: case(
             "sponza262k", lambda: sponza_like_scene(target_triangles=262144),
             oracle=TraversalMode.BVH, case_spp=128,
             case_cam=sponza_cam,
-        )
+        )))
+    # VRT_PARITY_FIRST="sponza262k,..." promotes named cases to the front
+    # (e.g. a resume window short on TPU time runs the cheapest missing
+    # case first); unnamed cases keep their relative order.
+    first = [s for s in os.environ.get("VRT_PARITY_FIRST", "").split(",") if s]
+    case_list.sort(key=lambda kv: first.index(kv[0]) if kv[0] in first
+                   else len(first))
+    for _, run in case_list:
+        run()
 
     report["all_pass"] = all(c["passes_1e-3"] for c in report["cases"].values())
     # the committed artifact is the full-size TPU run; smoke runs write
