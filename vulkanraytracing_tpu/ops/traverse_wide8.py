@@ -84,6 +84,21 @@ import os as _os
 CLOSEST_DRAIN_CAPS = _caps_env("VRT_DRAIN_CLOSEST", ())
 ANYHIT_DRAIN_CAPS = _caps_env("VRT_DRAIN_ANYHIT", ())
 DRAIN_REKEY_DEFAULT = _os.environ.get("VRT_DRAIN_REKEY", "1") == "1"
+# Dev knob for the full-frame abort bisect: caps are normally disabled
+# under interpret (CPU) because the capped program is strictly slower
+# there, but a CPU repro of the drain COMPOSITION (multiple call sites,
+# sorts, phase-split any-hit between drain rounds) needs them on.
+DRAIN_INTERPRET = _os.environ.get("VRT_DRAIN_INTERPRET", "0") == "1"
+# Fetch-latency timing probes (backlog #7, software pipelining): "const"
+# fetches per-trip-varying table rows whose ADDRESS does not depend on
+# the trip's own decision compute (exposes how much of the 64-row fetch
+# cost is dependency stall the compiler could hide), "skip" elides the
+# fetch entirely (isolates raw load issue cost).  Both CORRUPT traversal
+# results — they are per-visit cost probes (normalize by the returned
+# counters), never production paths.  VRT_PROBE_TRIPS caps the while
+# loop so garbage traversal cannot spin to MAX_ITERS.
+PROBE_FETCH = _os.environ.get("VRT_PROBE_FETCH", "")
+PROBE_TRIPS = int(_os.environ.get("VRT_PROBE_TRIPS", "0"))
 VMEM_TRI_LIMIT = 400_000
 
 # leaf-test selection: plane-based (_woop_records, ~30% fewer leaf VPU
@@ -289,7 +304,16 @@ def _kernel(
                 ii, c, jnp.where(isdone, nr_rows, nr_rows + 1 + (start >> 3))
             )
 
-        def fetch_rows():
+        def fetch_rows(it=0):
+            if PROBE_FETCH == "skip":
+                return
+            if PROBE_FETCH == "const":
+                total = uni_ref.shape[0]
+                for j in range(W):
+                    nscr[pl.ds(j, 1), :] = uni_ref[
+                        pl.ds((it * 13 + j) % total, 1), :
+                    ]
+                return
             for j in range(W):
                 nscr[pl.ds(j, 1), :] = uni_ref[pl.ds(meta[j, 3], 1), :]
 
@@ -550,7 +574,7 @@ def _kernel(
             """Combined trip: every row advances one visit (interior OR
             leaf), paying the tile-ops of BOTH blocks (masked)."""
             it, _, n_int, n_leaf = state
-            fetch_rows()
+            fetch_rows(it)
             c_all = meta[:, 0:1] + zi  # lane-replicated
             ii_m = c_all >= 0
             il_m = (c_all < 0) & (c_all != DONE)
@@ -639,7 +663,7 @@ def _kernel(
             1/leaf_den of the interior rows (or no interior rows
             remain)."""
             it, _, n_int, n_leaf = state
-            fetch_rows()
+            fetch_rows(it)
             c_all = meta[:, 0:1] + zi  # lane-replicated
             ii_m = c_all >= 0
             il_m = (c_all < 0) & (c_all != DONE)
@@ -737,7 +761,9 @@ def _kernel(
                 state = step(state)
             return state
 
-        cap = cap_ref[0, 0] if drain else MAX_ITERS
+        cap = cap_ref[0, 0] if drain else (
+            min(MAX_ITERS, PROBE_TRIPS) if PROBE_TRIPS else MAX_ITERS
+        )
 
         def cond(state):
             return (~state[1]) & (state[0] < cap)
@@ -1113,7 +1139,8 @@ def intersect_closest(
         table, nr = _unified_table8(bvh, woop=woop)
         k = 1
     interpret = _use_interpret()
-    caps = CLOSEST_DRAIN_CAPS if (k == 1 and not interpret) else ()
+    caps_ok = (not interpret) or DRAIN_INTERPRET
+    caps = CLOSEST_DRAIN_CAPS if (k == 1 and caps_ok) else ()
     return _dispatch(o)(
         table, nr, bvh.tris,
         o, d, t_min, t_max,
@@ -1148,7 +1175,8 @@ def intersect_any(
         table, nr = _unified_table8(bvh, woop=woop)
         k = 1
     interpret = _use_interpret()
-    caps = ANYHIT_DRAIN_CAPS if (k == 1 and not interpret) else ()
+    caps_ok = (not interpret) or DRAIN_INTERPRET
+    caps = ANYHIT_DRAIN_CAPS if (k == 1 and caps_ok) else ()
     hit = _dispatch(o)(
         table, nr, bvh.tris,
         o, d, t_min, t_max,
