@@ -239,6 +239,11 @@ def main() -> None:
     }
     if n_devices > 1:
         out["devices"] = n_devices
+    if scene.bvh is not None and scene.bvh.chunks is not None:
+        # streaming-at-scale evidence (VMEM_TRI_LIMIT exceeded): the
+        # measured path was the chunked HBM-streaming kernel
+        out["tris"] = int(scene.geometry.num_triangles)
+        out["hbm_chunks"] = int(scene.bvh.chunks.tables.shape[0])
     _emit(out)
 
 
