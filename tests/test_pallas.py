@@ -127,6 +127,31 @@ def test_phase_split_matches_combined(any_hit, leaf_den):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+@pytest.mark.parametrize("any_hit", [False, True])
+def test_pair_mode_matches_single(any_hit):
+    """Two-wave software-pipelined blocks (pair=True: both waves share a
+    (2W, 128) block via _RV row views so their fetches hide under each
+    other's math) are bitwise identical to the single-wave kernel on
+    every output, closest and production-shaped any-hit alike."""
+    scene = triangle_soup_scene(960, seed=3)
+    geom, bvh = lbvh.build_bvh(scene.geometry)
+    bvh = traverse_wide8._with_bvh8(bvh)
+    o, d, tmin, tmax = _rays(300, extent=11.0, seed=4)
+    table, nr = traverse_wide8._unified_table8(bvh)
+
+    def run(pair):
+        return traverse_wide8._traverse_wide8_packed(
+            table, nr, bvh.tris, o, d, tmin, tmax,
+            cull_backface=not any_hit, any_hit=any_hit,
+            interpret=True, any_order=any_hit, phase_split=any_hit,
+            pair=pair,
+        )
+
+    a, b = run(False), run(True)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 @pytest.mark.parametrize(
     "any_hit",
     [

@@ -99,6 +99,12 @@ DRAIN_INTERPRET = _os.environ.get("VRT_DRAIN_INTERPRET", "0") == "1"
 # loop so garbage traversal cannot spin to MAX_ITERS.
 PROBE_FETCH = _os.environ.get("VRT_PROBE_FETCH", "")
 PROBE_TRIPS = int(_os.environ.get("VRT_PROBE_TRIPS", "0"))
+# Two-wave software-pipelined blocks (backlog #7; see _kernel's pair
+# tail): each grid step runs two independent W-row waves so one wave's
+# 64 row fetches hide under the other's decision math.  Opt-in until the
+# TPU A/B lands; composes with the plain and phase-split kernels only
+# (not drain caps / chunked streaming / row-trip diagnostics).
+PAIR_DEFAULT = _os.environ.get("VRT_PAIR", "0") == "1"
 VMEM_TRI_LIMIT = 400_000
 
 # leaf-test selection: plane-based (_woop_records, ~30% fewer leaf VPU
@@ -219,6 +225,37 @@ def _unified_table8(
     return table, m
 
 
+class _RV:
+    """Static row-offset view of a (2W, 128) block ref: presents wave
+    ``off..off+w`` as if it were the whole (w, 128) block, so the per-wave
+    kernel code is identical between single and pair modes.  Handles
+    exactly the subscript forms the kernel uses: ``[...]``, ``[:, a:b]``,
+    ``[pl.ds(j, 1), :]`` and ``[j, col]`` (python ints only — offsets stay
+    static)."""
+
+    __slots__ = ("ref", "off", "w")
+
+    def __init__(self, ref, off, w):
+        self.ref, self.off, self.w = ref, off, w
+
+    def _map(self, idx):
+        if idx is Ellipsis:
+            return (pl.ds(self.off, self.w), slice(None))
+        r, c = idx
+        if isinstance(r, slice):
+            assert r == slice(None), "row slices must be full"
+            return (pl.ds(self.off, self.w), c)
+        if isinstance(r, int):
+            return (self.off + r, c)
+        return (pl.ds(self.off + r.start, r.size), c)  # pl.Slice
+
+    def __getitem__(self, idx):
+        return self.ref[self._map(idx)]
+
+    def __setitem__(self, idx, v):
+        self.ref[self._map(idx)] = v
+
+
 def _kernel(
     cull_backface: bool,
     any_hit: bool,
@@ -232,6 +269,7 @@ def _kernel(
     row_trips: bool = False,
     drain: bool = False,
     resume: bool = False,
+    pair: bool = False,
 ):
     """``drain=True`` compiles the drain+compact variant: the while loop
     stops at a DYNAMIC trip cap (SMEM scalar input) and the per-row
@@ -250,6 +288,9 @@ def _kernel(
     across grid steps: it is initialized at k == 0 and carried through the
     chunks, so wbest doubles as a cross-chunk tightening t_max.  Cursors
     restart at each chunk's root."""
+    assert not (pair and (drain or resume or chunked or row_trips)), (
+        "pair mode composes with the plain and phase-split kernels only"
+    )
     tiny = 1e-30
     # det epsilon for the leaf triangle tests: matches the brute oracle's
     # (ops.intersect:104) so grazing-incidence accepts/rejects identically;
@@ -263,6 +304,8 @@ def _kernel(
         (pox, poy, poz, pdx, pdy, pdz, ptmin, ptmax) = refs[1:9]
         i = 9
         cap_ref = None
+        pbest = ptri = phit = pu = pv = pbf = pmeta = pstack = None
+        orow = ometa = ostack = None
         if drain:
             cap_ref = refs[i]
             i += 1
@@ -283,552 +326,628 @@ def _kernel(
         zf = jnp.zeros((W, LANE_COLS), jnp.float32)
         zi = jnp.zeros((W, LANE_COLS), jnp.int32)
 
-        def safe_inv(c):
-            return 1.0 / jnp.where(
-                jnp.abs(c) < tiny, jnp.where(c < 0, -tiny, tiny), c
-            )
+        # --- per-wave machinery -------------------------------------------
+        # make_wave closes every helper/body over ONE wave's refs.  Single
+        # mode passes the raw (W, 128) block refs (identical lowering to
+        # the pre-factory kernel); pair mode passes _RV row-views into the
+        # (2W, 128) block at offsets 0 and W, giving two fully independent
+        # traversal chains whose row fetches overlap each other's decision
+        # math in the VLIW schedule (fetch addresses depend only on the
+        # OWN chain's previous trip).
+        def make_wave(pox, poy, poz, pdx, pdy, pdz, ptmin, ptmax,
+                      pbest, ptri, phit, pu, pv, pbf, pmeta, pstack,
+                      obest, otri, ohit, ou, ov, obf, orow, ometa, ostack,
+                      rix, riy, riz, wbest, wu, wv, nscr,
+                      wtri, whit, wbf, meta, stack):
+            def safe_inv(c):
+                return 1.0 / jnp.where(
+                    jnp.abs(c) < tiny, jnp.where(c < 0, -tiny, tiny), c
+                )
 
-        def fetch_addr(c):
-            """Table row for cursor c — (W, 1) vector ops.
+            def fetch_addr(c):
+                """Table row for cursor c — (W, 1) vector ops.
 
-            Leaf cursors fetch the row CONTAINING the leaf start, with no
-            lane alignment: the leaf block below tests all 8 slots of the
-            row, which is the same triangle set the old lane-roll produced
-            (pltpu.roll rotates within one row, so the rolled row held
-            exactly these 8 records, rotated) — dropping the roll removed
-            ~45% of the per-trip fetch cost at identical semantics."""
-            ii = c >= 0
-            isdone = c == DONE
-            start = (~c) >> 4
-            return jnp.where(
-                ii, c, jnp.where(isdone, nr_rows, nr_rows + 1 + (start >> 3))
-            )
+                Leaf cursors fetch the row CONTAINING the leaf start, with no
+                lane alignment: the leaf block below tests all 8 slots of the
+                row, which is the same triangle set the old lane-roll produced
+                (pltpu.roll rotates within one row, so the rolled row held
+                exactly these 8 records, rotated) — dropping the roll removed
+                ~45% of the per-trip fetch cost at identical semantics."""
+                ii = c >= 0
+                isdone = c == DONE
+                start = (~c) >> 4
+                return jnp.where(
+                    ii, c, jnp.where(isdone, nr_rows, nr_rows + 1 + (start >> 3))
+                )
 
-        def fetch_rows(it=0):
-            if PROBE_FETCH == "skip":
-                return
-            if PROBE_FETCH == "const":
-                total = uni_ref.shape[0]
+            def fetch_rows(it=0):
+                if PROBE_FETCH == "skip":
+                    return
+                if PROBE_FETCH == "const":
+                    total = uni_ref.shape[0]
+                    for j in range(W):
+                        nscr[pl.ds(j, 1), :] = uni_ref[
+                            pl.ds((it * 13 + j) % total, 1), :
+                        ]
+                    return
                 for j in range(W):
-                    nscr[pl.ds(j, 1), :] = uni_ref[
-                        pl.ds((it * 13 + j) % total, 1), :
-                    ]
-                return
-            for j in range(W):
-                nscr[pl.ds(j, 1), :] = uni_ref[pl.ds(meta[j, 3], 1), :]
+                    nscr[pl.ds(j, 1), :] = uni_ref[pl.ds(meta[j, 3], 1), :]
 
-        def interior_decide(ii_m, ox, oy, oz, ix, iy, iz, t_min, best):
-            """8-child slab tests + descent ordering for interior rows.
-            Returns (hits, cs, nxt_int, any1, later)."""
+            def interior_decide(ii_m, ox, oy, oz, ix, iy, iz, t_min, best):
+                """8-child slab tests + descent ordering for interior rows.
+                Returns (hits, cs, nxt_int, any1, later)."""
 
-            def colf(i):
-                return pltpu.bitcast(nscr[:, i : i + 1], jnp.float32)
+                def colf(i):
+                    return pltpu.bitcast(nscr[:, i : i + 1], jnp.float32)
 
-            # --- 8-child slab tests; per-child row entry distance (W, 1) ---
-            ts, cs = [], []
-            for k in range(8):
-                b = k * 6
-                ax = (colf(b + 0) - ox) * ix
-                bx = (colf(b + 3) - ox) * ix
-                ay = (colf(b + 1) - oy) * iy
-                by = (colf(b + 4) - oy) * iy
-                az = (colf(b + 2) - oz) * iz
-                bz = (colf(b + 5) - oz) * iz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
-                    jnp.maximum(jnp.minimum(az, bz), t_min),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
-                    jnp.minimum(jnp.maximum(az, bz), best),
-                )
-                tk = jnp.min(
-                    jnp.where(tn <= tf, tn, big), axis=1, keepdims=True
-                )
-                # broadcast the row key/child to full lane width: narrow
-                # (W, 1) arithmetic chains measured ~10x slower than full
-                # (W, 128) ops (per-op layout conversions), so the sorting
-                # network below runs on lane-replicated values
-                ts.append(jnp.where(ii_m, tk + zf, big))
-                cs.append(nscr[:, 48 + k : 49 + k] + zi)
-
-            # near-ordered traversal: sort the 8 (distance, child) pairs per
-            # row with a Batcher network, FARTHEST first.  Hit children at
-            # slots 0-6 are pushed in that order (so nearer pops earlier);
-            # slot 7 holds the nearest child, which is descended directly.
-            # Without this ordering, leaf visits measured 3x higher on
-            # Sponza-class scenes (far leaves tested before best-t tightens).
-            if not any_hit:
-                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
-                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
-                       (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
-                       (5, 6)]
-                for a, b2 in net:
-                    swap = ts[a] < ts[b2]  # descending by distance
-                    ta = jnp.where(swap, ts[b2], ts[a])
-                    tb = jnp.where(swap, ts[a], ts[b2])
-                    ca = jnp.where(swap, cs[b2], cs[a])
-                    cb = jnp.where(swap, cs[a], cs[b2])
-                    ts[a], ts[b2], cs[a], cs[b2] = ta, tb, ca, cb
-
-            hits = [t < big for t in ts]
-            if any_hit and any_order:
-                # any-hit needs no pop ORDER, only a good first descent:
-                # near-first descent finds occluders sooner (measured
-                # 1.10-1.22x on bounce NEE shadow sets, tools/ab/ab_anyhit.py),
-                # but the full Batcher network is overkill — pick the
-                # nearest hit child directly (~20 tile-ops vs ~95) and
-                # push the rest in slot order.
-                t_near = ts[0]
-                for k in range(1, 8):
-                    t_near = jnp.minimum(t_near, ts[k])
-                taken = [(ts[k] == t_near) & hits[k] for k in range(8)]
-                seen = jnp.zeros_like(hits[0])
+                # --- 8-child slab tests; per-child row entry distance (W, 1) ---
+                ts, cs = [], []
                 for k in range(8):
-                    taken[k] &= ~seen  # first nearest only
-                    seen = seen | taken[k]
-                nxt_int = jnp.zeros_like(zi) + DONE
-                for k in range(8):
-                    nxt_int = jnp.where(taken[k], cs[k], nxt_int)
-                any1 = seen
-                later = [hits[k] & ~taken[k] for k in range(8)]
-                # slot 7's push is skipped by the loop below; fold a
-                # potential slot-7 non-taken hit into slot 7 descent-swap:
-                # if slot 7 is hit but not taken, swap it with the taken
-                # slot so the pushed set stays complete.
-                push7 = later[7]
-                for k in range(7):
-                    # where slot 7 must be pushed, push the taken child's
-                    # slot instead (it is descended via nxt_int anyway, and
-                    # cs[k] at the taken slot is what nxt_int consumed) —
-                    # i.e. redirect slot 7's child into the taken slot.
-                    # (logical |, not jnp.where with a python bool: Mosaic
-                    # can't lower the i8->i1 trunci the latter produces)
-                    later[k] = later[k] | (push7 & taken[k])
-                    cs[k] = jnp.where(push7 & taken[k], cs[7], cs[k])
-            else:
-                # after the descending sort the nearest hit is the HIGHEST
-                # hit index: descend it, push the rest (k ascending = far to
-                # near, so the nearest alternative pops first)
-                nxt_int = jnp.zeros_like(zi) + DONE
-                for k in range(8):
-                    nxt_int = jnp.where(hits[k], cs[k], nxt_int)
-                any1 = hits[0]
-                for k in range(1, 8):
-                    any1 = any1 | hits[k]
-                # push child k iff hit AND a nearer (later-index) hit exists
-                later = [None] * 8
-                acc = jnp.zeros_like(hits[0])
-                for k in range(7, -1, -1):
-                    later[k] = acc
-                    acc = acc | hits[k]
-            return hits, cs, nxt_int, any1, later
-
-        def leaf_math(il_m, ox, oy, oz, dx, dy, dz, t_min, best):
-            """Leaf math (identical to traverse_wide): tests the 8 leaf
-            slots of the fetched rows for leaf rows.  Returns
-            (best, hit_found, tri_best, u_best, v_best, bf_best)."""
-            lf = pltpu.bitcast(nscr[...], jnp.float32)
-            hit_found = whit[...] != 0
-            tri_best = u_best = v_best = bf_best = None
-            if not any_hit:
-                # any-hit needs only the occlusion boolean: skip triangle-id
-                # and u/v/backface tracking entirely (2 column reads + 4
-                # selects per leaf slot)
-                tri_best = wtri[...]
-                u_best, v_best, bf_best = wu[...], wv[...], wbf[...]
-
-            def coll(i):
-                return lf[:, i : i + 1]
-
-            if not any_hit:
-                # current winner's id as f32 (ids < 2^24 exact) for the
-                # lexicographic (t, id) tie-break below; no winner => +inf
-                # so any equal-t candidate takes the slot
-                cur_tid = jnp.where(
-                    hit_found, tri_best.astype(jnp.float32),
-                    jnp.float32(3.0e38),
-                )
-
-            for k in range(LEAF_TESTS):
-                b = k * TRI_SLOTS
-                if woop:
-                    # plane-based test (_woop_records): den == -MT_det
-                    nx_, ny_, nz_ = coll(b + 0), coll(b + 1), coll(b + 2)
-                    dn_ = coll(b + 3)
-                    if cull_backface:
-                        cull_disable = coll(b + 12) > 0.5
-                    candidate = coll(b + 13) > 0.5
-                    if not any_hit:
-                        tid = coll(b + 14)
-
-                    den = nx_ * dx + ny_ * dy + nz_ * dz
-                    num = -(nx_ * ox + ny_ * oy + nz_ * oz + dn_)
-                    inv = 1.0 / jnp.where(jnp.abs(den) < det_eps, 1.0, den)
-                    mt = num * inv
-                    px = ox + mt * dx
-                    py = oy + mt * dy
-                    pz = oz + mt * dz
-                    mu = (
-                        coll(b + 4) * px + coll(b + 5) * py
-                        + coll(b + 6) * pz + coll(b + 7)
+                    b = k * 6
+                    ax = (colf(b + 0) - ox) * ix
+                    bx = (colf(b + 3) - ox) * ix
+                    ay = (colf(b + 1) - oy) * iy
+                    by = (colf(b + 4) - oy) * iy
+                    az = (colf(b + 2) - oz) * iz
+                    bz = (colf(b + 5) - oz) * iz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+                        jnp.maximum(jnp.minimum(az, bz), t_min),
                     )
-                    mv = (
-                        coll(b + 8) * px + coll(b + 9) * py
-                        + coll(b + 10) * pz + coll(b + 11)
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+                        jnp.minimum(jnp.maximum(az, bz), best),
                     )
-                    det_pos = den < -det_eps   # MT det > det_eps
-                    backface = den > 0.0       # MT det < 0
-                    det_ok = jnp.abs(den) > det_eps
+                    tk = jnp.min(
+                        jnp.where(tn <= tf, tn, big), axis=1, keepdims=True
+                    )
+                    # broadcast the row key/child to full lane width: narrow
+                    # (W, 1) arithmetic chains measured ~10x slower than full
+                    # (W, 128) ops (per-op layout conversions), so the sorting
+                    # network below runs on lane-replicated values
+                    ts.append(jnp.where(ii_m, tk + zf, big))
+                    cs.append(nscr[:, 48 + k : 49 + k] + zi)
+
+                # near-ordered traversal: sort the 8 (distance, child) pairs per
+                # row with a Batcher network, FARTHEST first.  Hit children at
+                # slots 0-6 are pushed in that order (so nearer pops earlier);
+                # slot 7 holds the nearest child, which is descended directly.
+                # Without this ordering, leaf visits measured 3x higher on
+                # Sponza-class scenes (far leaves tested before best-t tightens).
+                if not any_hit:
+                    net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                           (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                           (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                           (5, 6)]
+                    for a, b2 in net:
+                        swap = ts[a] < ts[b2]  # descending by distance
+                        ta = jnp.where(swap, ts[b2], ts[a])
+                        tb = jnp.where(swap, ts[a], ts[b2])
+                        ca = jnp.where(swap, cs[b2], cs[a])
+                        cb = jnp.where(swap, cs[a], cs[b2])
+                        ts[a], ts[b2], cs[a], cs[b2] = ta, tb, ca, cb
+
+                hits = [t < big for t in ts]
+                if any_hit and any_order:
+                    # any-hit needs no pop ORDER, only a good first descent:
+                    # near-first descent finds occluders sooner (measured
+                    # 1.10-1.22x on bounce NEE shadow sets, tools/ab/ab_anyhit.py),
+                    # but the full Batcher network is overkill — pick the
+                    # nearest hit child directly (~20 tile-ops vs ~95) and
+                    # push the rest in slot order.
+                    t_near = ts[0]
+                    for k in range(1, 8):
+                        t_near = jnp.minimum(t_near, ts[k])
+                    taken = [(ts[k] == t_near) & hits[k] for k in range(8)]
+                    seen = jnp.zeros_like(hits[0])
+                    for k in range(8):
+                        taken[k] &= ~seen  # first nearest only
+                        seen = seen | taken[k]
+                    nxt_int = jnp.zeros_like(zi) + DONE
+                    for k in range(8):
+                        nxt_int = jnp.where(taken[k], cs[k], nxt_int)
+                    any1 = seen
+                    later = [hits[k] & ~taken[k] for k in range(8)]
+                    # slot 7's push is skipped by the loop below; fold a
+                    # potential slot-7 non-taken hit into slot 7 descent-swap:
+                    # if slot 7 is hit but not taken, swap it with the taken
+                    # slot so the pushed set stays complete.
+                    push7 = later[7]
+                    for k in range(7):
+                        # where slot 7 must be pushed, push the taken child's
+                        # slot instead (it is descended via nxt_int anyway, and
+                        # cs[k] at the taken slot is what nxt_int consumed) —
+                        # i.e. redirect slot 7's child into the taken slot.
+                        # (logical |, not jnp.where with a python bool: Mosaic
+                        # can't lower the i8->i1 trunci the latter produces)
+                        later[k] = later[k] | (push7 & taken[k])
+                        cs[k] = jnp.where(push7 & taken[k], cs[7], cs[k])
                 else:
-                    v0x, v0y, v0z = coll(b + 0), coll(b + 1), coll(b + 2)
-                    e1x, e1y, e1z = coll(b + 3), coll(b + 4), coll(b + 5)
-                    e2x, e2y, e2z = coll(b + 6), coll(b + 7), coll(b + 8)
-                    if cull_backface:
-                        cull_disable = coll(b + 9) > 0.5
-                    candidate = coll(b + 10) > 0.5
-                    if not any_hit:
-                        tid = coll(b + 11)
+                    # after the descending sort the nearest hit is the HIGHEST
+                    # hit index: descend it, push the rest (k ascending = far to
+                    # near, so the nearest alternative pops first)
+                    nxt_int = jnp.zeros_like(zi) + DONE
+                    for k in range(8):
+                        nxt_int = jnp.where(hits[k], cs[k], nxt_int)
+                    any1 = hits[0]
+                    for k in range(1, 8):
+                        any1 = any1 | hits[k]
+                    # push child k iff hit AND a nearer (later-index) hit exists
+                    later = [None] * 8
+                    acc = jnp.zeros_like(hits[0])
+                    for k in range(7, -1, -1):
+                        later[k] = acc
+                        acc = acc | hits[k]
+                return hits, cs, nxt_int, any1, later
 
-                    pvx = dy * e2z - dz * e2y
-                    pvy = dz * e2x - dx * e2z
-                    pvz = dx * e2y - dy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
-                    tvx = ox - v0x
-                    tvy = oy - v0y
-                    tvz = oz - v0z
-                    mu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    mv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                    mt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    det_pos = det > det_eps
-                    backface = det < 0.0
-                    det_ok = jnp.abs(det) > det_eps
+            def leaf_math(il_m, ox, oy, oz, dx, dy, dz, t_min, best):
+                """Leaf math (identical to traverse_wide): tests the 8 leaf
+                slots of the fetched rows for leaf rows.  Returns
+                (best, hit_found, tri_best, u_best, v_best, bf_best)."""
+                lf = pltpu.bitcast(nscr[...], jnp.float32)
+                hit_found = whit[...] != 0
+                tri_best = u_best = v_best = bf_best = None
+                if not any_hit:
+                    # any-hit needs only the occlusion boolean: skip triangle-id
+                    # and u/v/backface tracking entirely (2 column reads + 4
+                    # selects per leaf slot)
+                    tri_best = wtri[...]
+                    u_best, v_best, bf_best = wu[...], wv[...], wbf[...]
 
-                valid = (
-                    il_m
-                    & candidate
-                    & det_ok
-                    & (mu >= 0.0) & (mv >= 0.0) & (mu + mv <= 1.0)
-                    # <= (not <): the window upper bound is inclusive like
-                    # the brute oracle's, and equal-t ties stay candidates
-                    # for the deterministic id tie-break below
-                    & (mt >= t_min) & (mt <= best)
-                )
-                if cull_backface:
-                    valid &= det_pos | cull_disable
+                def coll(i):
+                    return lf[:, i : i + 1]
 
                 if not any_hit:
-                    # lexicographic (t, id) winner: equal-t ties resolve to
-                    # the LOWEST triangle id, bit-matching the brute-force
-                    # oracle's argmin on the same (permuted) geometry.
-                    # Order-independent, so trips/chunks/drain-resume all
-                    # converge to the same winner (tools/ab/nee_tap_probe.py:
-                    # cornell wall-corner ties flipped shading normals
-                    # between backends, 7.1e-3 RMSE at 512^2/1024 spp).
-                    valid &= (mt < best) | (tid < cur_tid)
-
-                best = jnp.where(valid, mt, best)
-                hit_found |= valid
-                if not any_hit:
-                    cur_tid = jnp.where(valid, tid, cur_tid)
-                    tri_best = jnp.where(valid, tid.astype(jnp.int32), tri_best)
-                    # commit u/v/backface with the winning hit so the host
-                    # epilogue needs no tri-table gather + re-intersection
-                    u_best = jnp.where(valid, mu, u_best)
-                    v_best = jnp.where(valid, mv, v_best)
-                    bf_best = jnp.where(
-                        valid, jnp.where(backface, 1, 0), bf_best
+                    # current winner's id as f32 (ids < 2^24 exact) for the
+                    # lexicographic (t, id) tie-break below; no winner => +inf
+                    # so any equal-t candidate takes the slot
+                    cur_tid = jnp.where(
+                        hit_found, tri_best.astype(jnp.float32),
+                        jnp.float32(3.0e38),
                     )
-            return best, hit_found, tri_best, u_best, v_best, bf_best
 
-        def commit_hits(best, hit_found, tri_best, u_best, v_best, bf_best):
-            wbest[...] = best
-            whit[...] = hit_found.astype(jnp.int32)
-            if not any_hit:
-                wtri[...] = tri_best
-                wu[...] = u_best
-                wv[...] = v_best
-                wbf[...] = bf_best
+                for k in range(LEAF_TESTS):
+                    b = k * TRI_SLOTS
+                    if woop:
+                        # plane-based test (_woop_records): den == -MT_det
+                        nx_, ny_, nz_ = coll(b + 0), coll(b + 1), coll(b + 2)
+                        dn_ = coll(b + 3)
+                        if cull_backface:
+                            cull_disable = coll(b + 12) > 0.5
+                        candidate = coll(b + 13) > 0.5
+                        if not any_hit:
+                            tid = coll(b + 14)
 
-        def write_meta(newc, sp3, it=None):
-            rowv = fetch_addr(newc)
-            upd = jnp.where(
-                colw == 0, newc,
-                jnp.where(
-                    colw == 1, sp3,
-                    jnp.where(colw == 3, rowv, meta[...]),
-                ),
-            )
-            if row_trips and it is not None:
-                # col 4: first trip this row's cursor went DONE
-                cur4 = meta[:, 4:5] + zi
-                new4 = jnp.where((newc == DONE) & (cur4 == 0), it + 1, cur4)
-                upd = jnp.where(colw == 4, new4, upd)
-            meta[...] = upd
+                        den = nx_ * dx + ny_ * dy + nz_ * dz
+                        num = -(nx_ * ox + ny_ * oy + nz_ * oz + dn_)
+                        inv = 1.0 / jnp.where(jnp.abs(den) < det_eps, 1.0, den)
+                        mt = num * inv
+                        px = ox + mt * dx
+                        py = oy + mt * dy
+                        pz = oz + mt * dz
+                        mu = (
+                            coll(b + 4) * px + coll(b + 5) * py
+                            + coll(b + 6) * pz + coll(b + 7)
+                        )
+                        mv = (
+                            coll(b + 8) * px + coll(b + 9) * py
+                            + coll(b + 10) * pz + coll(b + 11)
+                        )
+                        det_pos = den < -det_eps   # MT det > det_eps
+                        backface = den > 0.0       # MT det < 0
+                        det_ok = jnp.abs(den) > det_eps
+                    else:
+                        v0x, v0y, v0z = coll(b + 0), coll(b + 1), coll(b + 2)
+                        e1x, e1y, e1z = coll(b + 3), coll(b + 4), coll(b + 5)
+                        e2x, e2y, e2z = coll(b + 6), coll(b + 7), coll(b + 8)
+                        if cull_backface:
+                            cull_disable = coll(b + 9) > 0.5
+                        candidate = coll(b + 10) > 0.5
+                        if not any_hit:
+                            tid = coll(b + 11)
 
-        def body(state):
-            """Combined trip: every row advances one visit (interior OR
-            leaf), paying the tile-ops of BOTH blocks (masked)."""
-            it, _, n_int, n_leaf = state
-            fetch_rows(it)
-            c_all = meta[:, 0:1] + zi  # lane-replicated
-            ii_m = c_all >= 0
-            il_m = (c_all < 0) & (c_all != DONE)
-            done_m = c_all == DONE
-            ox, oy, oz = pox[...], poy[...], poz[...]
-            ix, iy, iz = rix[...], riy[...], riz[...]
-            dx, dy, dz = pdx[...], pdy[...], pdz[...]
-            t_min = ptmin[...]
-            best = wbest[...]
+                        pvx = dy * e2z - dz * e2y
+                        pvy = dz * e2x - dx * e2z
+                        pvz = dx * e2y - dy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
+                        tvx = ox - v0x
+                        tvy = oy - v0y
+                        tvz = oz - v0z
+                        mu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        mv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                        mt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                        det_pos = det > det_eps
+                        backface = det < 0.0
+                        det_ok = jnp.abs(det) > det_eps
 
-            hits, cs, nxt_int, any1, later = interior_decide(
-                ii_m, ox, oy, oz, ix, iy, iz, t_min, best
-            )
-            best, hit_found, tri_best, u_best, v_best, bf_best = leaf_math(
-                il_m, ox, oy, oz, dx, dy, dz, t_min, best
-            )
-            commit_hits(best, hit_found, tri_best, u_best, v_best, bf_best)
+                    valid = (
+                        il_m
+                        & candidate
+                        & det_ok
+                        & (mu >= 0.0) & (mv >= 0.0) & (mu + mv <= 1.0)
+                        # <= (not <): the window upper bound is inclusive like
+                        # the brute oracle's, and equal-t ties stay candidates
+                        # for the deterministic id tie-break below
+                        & (mt >= t_min) & (mt <= best)
+                    )
+                    if cull_backface:
+                        valid &= det_pos | cull_disable
 
-            # --- vectorized decision: push all non-taken hit children ---
-            sp = meta[:, 1:2] + zi  # lane-replicated
+                    if not any_hit:
+                        # lexicographic (t, id) winner: equal-t ties resolve to
+                        # the LOWEST triangle id, bit-matching the brute-force
+                        # oracle's argmin on the same (permuted) geometry.
+                        # Order-independent, so trips/chunks/drain-resume all
+                        # converge to the same winner (tools/ab/nee_tap_probe.py:
+                        # cornell wall-corner ties flipped shading normals
+                        # between backends, 7.1e-3 RMSE at 512^2/1024 spp).
+                        valid &= (mt < best) | (tid < cur_tid)
 
-            lstart = (~c_all) >> 4
-            lend = lstart + ((~c_all) & 15) - 1
-            row2 = lend >> 3
-            extra = il_m & (row2 != (lstart >> 3))
-            leaf2 = ~(((row2 << 3) << 4) | 1)
+                    best = jnp.where(valid, mt, best)
+                    hit_found |= valid
+                    if not any_hit:
+                        cur_tid = jnp.where(valid, tid, cur_tid)
+                        tri_best = jnp.where(valid, tid.astype(jnp.int32), tri_best)
+                        # commit u/v/backface with the winning hit so the host
+                        # epilogue needs no tri-table gather + re-intersection
+                        u_best = jnp.where(valid, mu, u_best)
+                        v_best = jnp.where(valid, mv, v_best)
+                        bf_best = jnp.where(
+                            valid, jnp.where(backface, 1, 0), bf_best
+                        )
+                return best, hit_found, tri_best, u_best, v_best, bf_best
 
-            # interior pushes: every hit child except the descended
-            # (nearest) one, in ascending slot order = far to near, so the
-            # nearest alternative is on top of the stack
-            stk = stack[...]
-            cnt = jnp.zeros_like(sp)
-            for k in range(7):  # slot 7 is never pushed (it is descended)
-                pushk = hits[k] & later[k]
-                pos = sp + cnt
-                stk = jnp.where(
-                    (colw == pos) & pushk & (pos < STACK_DEPTH), cs[k], stk
+            def commit_hits(best, hit_found, tri_best, u_best, v_best, bf_best):
+                wbest[...] = best
+                whit[...] = hit_found.astype(jnp.int32)
+                if not any_hit:
+                    wtri[...] = tri_best
+                    wu[...] = u_best
+                    wv[...] = v_best
+                    wbf[...] = bf_best
+
+            def write_meta(newc, sp3, it=None):
+                rowv = fetch_addr(newc)
+                upd = jnp.where(
+                    colw == 0, newc,
+                    jnp.where(
+                        colw == 1, sp3,
+                        jnp.where(colw == 3, rowv, meta[...]),
+                    ),
                 )
-                cnt = cnt + jnp.where(pushk & (pos < STACK_DEPTH), 1, 0)
+                if row_trips and it is not None:
+                    # col 4: first trip this row's cursor went DONE
+                    cur4 = meta[:, 4:5] + zi
+                    new4 = jnp.where((newc == DONE) & (cur4 == 0), it + 1, cur4)
+                    upd = jnp.where(colw == 4, new4, upd)
+                meta[...] = upd
 
-            # leaf continuation push
-            pos = sp + cnt
-            push_leaf = extra & (pos < STACK_DEPTH)
-            stk = jnp.where((colw == pos) & push_leaf, leaf2, stk)
-            cnt = cnt + jnp.where(push_leaf, 1, 0)
-            stack[...] = stk
-            sp2 = sp + cnt
-
-            can_pop = sp2 > 0
-            top = jnp.sum(
-                jnp.where(colw == sp2 - 1, stk, 0), axis=1, keepdims=True
-            )
-            newc = jnp.where(
-                any1, nxt_int, jnp.where(can_pop, top, DONE)
-            )
-            popped = (~any1) & (~done_m) & can_pop
-            sp3 = sp2 - jnp.where(popped, 1, 0)
-            newc = jnp.where(done_m, DONE, newc)
-            if any_hit:
-                lane_done = hit_found | (t_min > wbest[...])
-                row_done = il_m & (
-                    jnp.min(jnp.where(lane_done, 1, 0), axis=1, keepdims=True)
-                    > 0
-                )
-                newc = jnp.where(row_done, DONE, newc)
-
-            write_meta(newc, sp3, it)
-
-            # newc is lane-replicated (W, 128): the idle sum counts lanes
-            idle_now = jnp.sum(jnp.where(newc == DONE, 1, 0))
-            alldone = idle_now >= W * LANE_COLS
-
-            # ii_m/il_m are lane-replicated; divide back at octr write
-            n_int += jnp.sum(jnp.where(ii_m, 1, 0))
-            n_leaf += jnp.sum(jnp.where(il_m, 1, 0))
-            return (it + 1, alldone, n_int, n_leaf)
-
-        def body_split(state):
-            """Phase-split trip (while-while): the trip is EITHER an
-            interior step (slab tests + ordering only — leaf rows park)
-            OR a leaf step (leaf block only — interior rows park), so a
-            visit pays only its own block's tile-ops instead of both.
-            Per-row outputs are bitwise identical to the combined body
-            (rows are independent; only their relative scheduling
-            changes).  A leaf trip fires when parked leaf rows reach
-            1/leaf_den of the interior rows (or no interior rows
-            remain)."""
-            it, _, n_int, n_leaf = state
-            fetch_rows(it)
-            c_all = meta[:, 0:1] + zi  # lane-replicated
-            ii_m = c_all >= 0
-            il_m = (c_all < 0) & (c_all != DONE)
-            ox, oy, oz = pox[...], poy[...], poz[...]
-            t_min = ptmin[...]
-
-            n_int_l = jnp.sum(jnp.where(ii_m, 1, 0))
-            n_leaf_l = jnp.sum(jnp.where(il_m, 1, 0))
-            do_leaf = (n_leaf_l * leaf_den >= n_int_l) & (n_leaf_l > 0)
-
-            @pl.when(jnp.logical_not(do_leaf))
-            def _():
+            def body(state):
+                """Combined trip: every row advances one visit (interior OR
+                leaf), paying the tile-ops of BOTH blocks (masked)."""
+                it, _, n_int, n_leaf = state
+                fetch_rows(it)
+                c_all = meta[:, 0:1] + zi  # lane-replicated
+                ii_m = c_all >= 0
+                il_m = (c_all < 0) & (c_all != DONE)
+                done_m = c_all == DONE
+                ox, oy, oz = pox[...], poy[...], poz[...]
                 ix, iy, iz = rix[...], riy[...], riz[...]
+                dx, dy, dz = pdx[...], pdy[...], pdz[...]
+                t_min = ptmin[...]
                 best = wbest[...]
+
                 hits, cs, nxt_int, any1, later = interior_decide(
                     ii_m, ox, oy, oz, ix, iy, iz, t_min, best
                 )
-                sp = meta[:, 1:2] + zi
-                stk = stack[...]
-                cnt = jnp.zeros_like(sp)
-                for k in range(7):  # slot 7 is never pushed (descended)
-                    pushk = hits[k] & later[k]
-                    pos = sp + cnt
-                    stk = jnp.where(
-                        (colw == pos) & pushk & (pos < STACK_DEPTH),
-                        cs[k], stk,
-                    )
-                    cnt = cnt + jnp.where(pushk & (pos < STACK_DEPTH), 1, 0)
-                stack[...] = stk
-                sp2 = sp + cnt
-                can_pop = sp2 > 0
-                top = jnp.sum(
-                    jnp.where(colw == sp2 - 1, stk, 0), axis=1, keepdims=True
+                best, hit_found, tri_best, u_best, v_best, bf_best = leaf_math(
+                    il_m, ox, oy, oz, dx, dy, dz, t_min, best
                 )
-                newc = jnp.where(
-                    ii_m,
-                    jnp.where(any1, nxt_int, jnp.where(can_pop, top, DONE)),
-                    c_all,
-                )
-                popped = ii_m & (~any1) & can_pop
-                sp3 = sp2 - jnp.where(popped, 1, 0)
-                write_meta(newc, sp3, it)
+                commit_hits(best, hit_found, tri_best, u_best, v_best, bf_best)
 
-            @pl.when(do_leaf)
-            def _():
-                dx, dy, dz = pdx[...], pdy[...], pdz[...]
-                best = wbest[...]
-                best, hit_found, tri_best, u_best, v_best, bf_best = (
-                    leaf_math(il_m, ox, oy, oz, dx, dy, dz, t_min, best)
-                )
-                commit_hits(best, hit_found, tri_best, u_best, v_best,
-                            bf_best)
-                sp = meta[:, 1:2] + zi
+                # --- vectorized decision: push all non-taken hit children ---
+                sp = meta[:, 1:2] + zi  # lane-replicated
+
                 lstart = (~c_all) >> 4
                 lend = lstart + ((~c_all) & 15) - 1
                 row2 = lend >> 3
                 extra = il_m & (row2 != (lstart >> 3))
                 leaf2 = ~(((row2 << 3) << 4) | 1)
+
+                # interior pushes: every hit child except the descended
+                # (nearest) one, in ascending slot order = far to near, so the
+                # nearest alternative is on top of the stack
                 stk = stack[...]
-                push_leaf = extra & (sp < STACK_DEPTH)
-                stk = jnp.where((colw == sp) & push_leaf, leaf2, stk)
+                cnt = jnp.zeros_like(sp)
+                for k in range(7):  # slot 7 is never pushed (it is descended)
+                    pushk = hits[k] & later[k]
+                    pos = sp + cnt
+                    stk = jnp.where(
+                        (colw == pos) & pushk & (pos < STACK_DEPTH), cs[k], stk
+                    )
+                    cnt = cnt + jnp.where(pushk & (pos < STACK_DEPTH), 1, 0)
+
+                # leaf continuation push
+                pos = sp + cnt
+                push_leaf = extra & (pos < STACK_DEPTH)
+                stk = jnp.where((colw == pos) & push_leaf, leaf2, stk)
+                cnt = cnt + jnp.where(push_leaf, 1, 0)
                 stack[...] = stk
-                sp2 = sp + jnp.where(push_leaf, 1, 0)
+                sp2 = sp + cnt
+
                 can_pop = sp2 > 0
                 top = jnp.sum(
                     jnp.where(colw == sp2 - 1, stk, 0), axis=1, keepdims=True
                 )
                 newc = jnp.where(
-                    il_m, jnp.where(can_pop, top, DONE), c_all
+                    any1, nxt_int, jnp.where(can_pop, top, DONE)
                 )
-                popped = il_m & can_pop
+                popped = (~any1) & (~done_m) & can_pop
                 sp3 = sp2 - jnp.where(popped, 1, 0)
+                newc = jnp.where(done_m, DONE, newc)
                 if any_hit:
-                    lane_done = hit_found | (t_min > best)
+                    lane_done = hit_found | (t_min > wbest[...])
                     row_done = il_m & (
-                        jnp.min(
-                            jnp.where(lane_done, 1, 0), axis=1, keepdims=True
-                        )
+                        jnp.min(jnp.where(lane_done, 1, 0), axis=1, keepdims=True)
                         > 0
                     )
                     newc = jnp.where(row_done, DONE, newc)
+
                 write_meta(newc, sp3, it)
 
-            mcur = meta[...]
-            ndone = jnp.sum(jnp.where((colw == 0) & (mcur == DONE), 1, 0))
-            alldone = ndone >= W
-            n_int += jnp.where(do_leaf, 0, n_int_l)
-            n_leaf += jnp.where(do_leaf, n_leaf_l, 0)
-            return (it + 1, alldone, n_int, n_leaf)
+                # newc is lane-replicated (W, 128): the idle sum counts lanes
+                idle_now = jnp.sum(jnp.where(newc == DONE, 1, 0))
+                alldone = idle_now >= W * LANE_COLS
 
-        step = body_split if phase_split else body
+                # ii_m/il_m are lane-replicated; divide back at octr write
+                n_int += jnp.sum(jnp.where(ii_m, 1, 0))
+                n_leaf += jnp.sum(jnp.where(il_m, 1, 0))
+                return (it + 1, alldone, n_int, n_leaf)
 
-        def block4(state):
-            for _ in range(4):
-                state = step(state)
-            return state
+            def body_split(state):
+                """Phase-split trip (while-while): the trip is EITHER an
+                interior step (slab tests + ordering only — leaf rows park)
+                OR a leaf step (leaf block only — interior rows park), so a
+                visit pays only its own block's tile-ops instead of both.
+                Per-row outputs are bitwise identical to the combined body
+                (rows are independent; only their relative scheduling
+                changes).  A leaf trip fires when parked leaf rows reach
+                1/leaf_den of the interior rows (or no interior rows
+                remain)."""
+                it, _, n_int, n_leaf = state
+                fetch_rows(it)
+                c_all = meta[:, 0:1] + zi  # lane-replicated
+                ii_m = c_all >= 0
+                il_m = (c_all < 0) & (c_all != DONE)
+                ox, oy, oz = pox[...], poy[...], poz[...]
+                t_min = ptmin[...]
 
-        cap = cap_ref[0, 0] if drain else (
-            min(MAX_ITERS, PROBE_TRIPS) if PROBE_TRIPS else MAX_ITERS
-        )
+                n_int_l = jnp.sum(jnp.where(ii_m, 1, 0))
+                n_leaf_l = jnp.sum(jnp.where(il_m, 1, 0))
+                do_leaf = (n_leaf_l * leaf_den >= n_int_l) & (n_leaf_l > 0)
 
-        def cond(state):
-            return (~state[1]) & (state[0] < cap)
+                @pl.when(jnp.logical_not(do_leaf))
+                def _():
+                    ix, iy, iz = rix[...], riy[...], riz[...]
+                    best = wbest[...]
+                    hits, cs, nxt_int, any1, later = interior_decide(
+                        ii_m, ox, oy, oz, ix, iy, iz, t_min, best
+                    )
+                    sp = meta[:, 1:2] + zi
+                    stk = stack[...]
+                    cnt = jnp.zeros_like(sp)
+                    for k in range(7):  # slot 7 is never pushed (descended)
+                        pushk = hits[k] & later[k]
+                        pos = sp + cnt
+                        stk = jnp.where(
+                            (colw == pos) & pushk & (pos < STACK_DEPTH),
+                            cs[k], stk,
+                        )
+                        cnt = cnt + jnp.where(pushk & (pos < STACK_DEPTH), 1, 0)
+                    stack[...] = stk
+                    sp2 = sp + cnt
+                    can_pop = sp2 > 0
+                    top = jnp.sum(
+                        jnp.where(colw == sp2 - 1, stk, 0), axis=1, keepdims=True
+                    )
+                    newc = jnp.where(
+                        ii_m,
+                        jnp.where(any1, nxt_int, jnp.where(can_pop, top, DONE)),
+                        c_all,
+                    )
+                    popped = ii_m & (~any1) & can_pop
+                    sp3 = sp2 - jnp.where(popped, 1, 0)
+                    write_meta(newc, sp3, it)
 
-        rix[...] = safe_inv(pdx[...])
-        riy[...] = safe_inv(pdy[...])
-        riz[...] = safe_inv(pdz[...])
-        tminr = ptmin[...]
-        tmaxr = ptmax[...]
+                @pl.when(do_leaf)
+                def _():
+                    dx, dy, dz = pdx[...], pdy[...], pdz[...]
+                    best = wbest[...]
+                    best, hit_found, tri_best, u_best, v_best, bf_best = (
+                        leaf_math(il_m, ox, oy, oz, dx, dy, dz, t_min, best)
+                    )
+                    commit_hits(best, hit_found, tri_best, u_best, v_best,
+                                bf_best)
+                    sp = meta[:, 1:2] + zi
+                    lstart = (~c_all) >> 4
+                    lend = lstart + ((~c_all) & 15) - 1
+                    row2 = lend >> 3
+                    extra = il_m & (row2 != (lstart >> 3))
+                    leaf2 = ~(((row2 << 3) << 4) | 1)
+                    stk = stack[...]
+                    push_leaf = extra & (sp < STACK_DEPTH)
+                    stk = jnp.where((colw == sp) & push_leaf, leaf2, stk)
+                    stack[...] = stk
+                    sp2 = sp + jnp.where(push_leaf, 1, 0)
+                    can_pop = sp2 > 0
+                    top = jnp.sum(
+                        jnp.where(colw == sp2 - 1, stk, 0), axis=1, keepdims=True
+                    )
+                    newc = jnp.where(
+                        il_m, jnp.where(can_pop, top, DONE), c_all
+                    )
+                    popped = il_m & can_pop
+                    sp3 = sp2 - jnp.where(popped, 1, 0)
+                    if any_hit:
+                        lane_done = hit_found | (t_min > best)
+                        row_done = il_m & (
+                            jnp.min(
+                                jnp.where(lane_done, 1, 0), axis=1, keepdims=True
+                            )
+                            > 0
+                        )
+                        newc = jnp.where(row_done, DONE, newc)
+                    write_meta(newc, sp3, it)
 
-        def init_state():
-            wbest[...] = jnp.minimum(tmaxr, big)
-            wtri[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
-            whit[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
-            wu[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
-            wv[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
-            wbf[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+                mcur = meta[...]
+                ndone = jnp.sum(jnp.where((colw == 0) & (mcur == DONE), 1, 0))
+                alldone = ndone >= W
+                n_int += jnp.where(do_leaf, 0, n_int_l)
+                n_leaf += jnp.where(do_leaf, n_leaf_l, 0)
+                return (it + 1, alldone, n_int, n_leaf)
 
-        if resume:
-            # continue a capped round: traversal + hit state come in
-            wbest[...] = pbest[...]
-            wtri[...] = ptri[...]
-            whit[...] = phit[...]
-            wu[...] = pu[...]
-            wv[...] = pv[...]
-            wbf[...] = pbf[...]
-            meta[...] = pmeta[...]
-            stack[...] = pstack[...]
-        else:
-            if chunked:
-                # hit state persists in scratch across the chunk axis; only
-                # the first chunk of each wave starts fresh
-                pl.when(pl.program_id(1) == 0)(init_state)
-            else:
-                init_state()
+            def setup():
+                rix[...] = safe_inv(pdx[...])
+                riy[...] = safe_inv(pdy[...])
+                riz[...] = safe_inv(pdz[...])
+                tminr = ptmin[...]
+                tmaxr = ptmax[...]
 
-            relevant = tminr <= tmaxr
-            if any_hit and chunked:
-                # rows whose every live lane already found an occluder in an
-                # earlier chunk skip this chunk entirely
-                relevant &= whit[...] == 0
-            live = jnp.sum(jnp.where(relevant, 1, 0), axis=1, keepdims=True)
-            cur0 = jnp.where(live > 0, 0, DONE)
-            row0 = fetch_addr(cur0)
-            meta[...] = jnp.where(
-                colw == 0, cur0, jnp.where(colw == 3, row0, 0)
+                def init_state():
+                    wbest[...] = jnp.minimum(tmaxr, big)
+                    wtri[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+                    whit[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+                    wu[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
+                    wv[...] = jnp.zeros((W, LANE_COLS), jnp.float32)
+                    wbf[...] = jnp.zeros((W, LANE_COLS), jnp.int32)
+
+                if resume:
+                    # continue a capped round: traversal + hit state come in
+                    wbest[...] = pbest[...]
+                    wtri[...] = ptri[...]
+                    whit[...] = phit[...]
+                    wu[...] = pu[...]
+                    wv[...] = pv[...]
+                    wbf[...] = pbf[...]
+                    meta[...] = pmeta[...]
+                    stack[...] = pstack[...]
+                else:
+                    if chunked:
+                        # hit state persists in scratch across the chunk axis; only
+                        # the first chunk of each wave starts fresh
+                        pl.when(pl.program_id(1) == 0)(init_state)
+                    else:
+                        init_state()
+
+                    relevant = tminr <= tmaxr
+                    if any_hit and chunked:
+                        # rows whose every live lane already found an occluder in an
+                        # earlier chunk skip this chunk entirely
+                        relevant &= whit[...] == 0
+                    live = jnp.sum(jnp.where(relevant, 1, 0), axis=1, keepdims=True)
+                    cur0 = jnp.where(live > 0, 0, DONE)
+                    row0 = fetch_addr(cur0)
+                    meta[...] = jnp.where(
+                        colw == 0, cur0, jnp.where(colw == 3, row0, 0)
+                    )
+
+
+            def export(trips):
+                obest[...] = wbest[...]
+                otri[...] = wtri[...]
+                ohit[...] = whit[...]
+                ou[...] = wu[...]
+                ov[...] = wv[...]
+                obf[...] = wbf[...]
+                if drain:
+                    ometa[...] = meta[...]
+                    ostack[...] = stack[...]
+                if row_trips:
+                    # rows still live at MAX_ITERS report the full trip count
+                    m4 = meta[:, 4:5] + jnp.zeros((W, LANE_COLS), jnp.int32)
+                    orow[...] = jnp.where(m4 == 0, trips, m4)
+
+
+            return fetch_rows, body, body_split, setup, export
+
+        if not pair:
+            (fetch_rows, body, body_split, setup, export) = make_wave(
+                pox, poy, poz, pdx, pdy, pdz, ptmin, ptmax,
+                pbest, ptri, phit, pu, pv, pbf, pmeta, pstack,
+                obest, otri, ohit, ou, ov, obf, orow, ometa, ostack,
+                rix, riy, riz, wbest, wu, wv, nscr,
+                wtri, whit, wbf, meta, stack)
+            step = body_split if phase_split else body
+
+            def block4(state):
+                for _ in range(4):
+                    state = step(state)
+                return state
+
+            cap = cap_ref[0, 0] if drain else (
+                min(MAX_ITERS, PROBE_TRIPS) if PROBE_TRIPS else MAX_ITERS
             )
 
-        trips, _, n_int, n_leaf = jax.lax.while_loop(
-            cond, block4, (jnp.int32(0), False, jnp.int32(0), jnp.int32(0))
-        )
+            def cond(state):
+                return (~state[1]) & (state[0] < cap)
 
-        obest[...] = wbest[...]
-        otri[...] = wtri[...]
-        ohit[...] = whit[...]
-        ou[...] = wu[...]
-        ov[...] = wv[...]
-        obf[...] = wbf[...]
-        if drain:
-            ometa[...] = meta[...]
-            ostack[...] = stack[...]
-        if row_trips:
-            # rows still live at MAX_ITERS report the full trip count
-            m4 = meta[:, 4:5] + jnp.zeros((W, LANE_COLS), jnp.int32)
-            orow[...] = jnp.where(m4 == 0, trips, m4)
+            setup()
+            trips, _, n_int, n_leaf = jax.lax.while_loop(
+                cond, block4, (jnp.int32(0), False, jnp.int32(0),
+                               jnp.int32(0))
+            )
+            export(trips)
+        else:
+            # pair mode: two W-row waves side by side in one (2W, 128)
+            # block.  Each trip runs wave A's fetch+compute then wave B's;
+            # B's 64 row loads have no dependency on A's math (and A's next
+            # loads none on B's), so the scheduler can hide each wave's
+            # fetch latency under the other's decision block — software
+            # pipelining with no speculative state.  A finished wave's body
+            # is a masked no-op (cursor DONE fetches the sentinel row), so
+            # the pair pays max(tripsA, tripsB); the frame-level wave
+            # balancer already groups similar-cost rows.
+            waves = []
+            for off in (0, W):
+                v = [None if r is None else _RV(r, off, W)
+                     for r in (pox, poy, poz, pdx, pdy, pdz, ptmin, ptmax,
+                               pbest, ptri, phit, pu, pv, pbf, pmeta,
+                               pstack, obest, otri, ohit, ou, ov, obf,
+                               orow, ometa, ostack,
+                               rix, riy, riz, wbest, wu, wv, nscr,
+                               wtri, whit, wbf, meta, stack)]
+                waves.append(make_wave(*v))
+            stepA = waves[0][2] if phase_split else waves[0][1]
+            stepB = waves[1][2] if phase_split else waves[1][1]
+
+            cap = min(MAX_ITERS, PROBE_TRIPS) if PROBE_TRIPS else MAX_ITERS
+
+            def pbody(state):
+                it, dA, dB, n_int, n_leaf = state
+                _, aA, n_int, n_leaf = stepA((it, dA, n_int, n_leaf))
+                _, aB, n_int, n_leaf = stepB((it, dB, n_int, n_leaf))
+                return (it + 1, aA, aB, n_int, n_leaf)
+
+            def block2(state):
+                for _ in range(2):
+                    state = pbody(state)
+                return state
+
+            def cond(state):
+                return (~(state[1] & state[2])) & (state[0] < cap)
+
+            for wv_ in waves:
+                wv_[3]()  # setup
+            trips, _, _, n_int, n_leaf = jax.lax.while_loop(
+                cond, block2, (jnp.int32(0), False, False, jnp.int32(0),
+                               jnp.int32(0))
+            )
+            for wv_ in waves:
+                wv_[4](trips)  # export
 
         shape = (8, LANE_COLS)
         iters = jnp.zeros(shape, jnp.int32) + trips
@@ -871,13 +990,17 @@ def _traverse_wide8_packed(
     row_trips: bool = False,
     drain_caps: tuple = (),
     drain_rekey: bool = True,
+    pair: bool = False,
 ):
     r_orig = o.shape[0]
     # interpret mode pays per-row python cost; keep the resident set small
     W = INTERPRET_ROWS if interpret else WIDE_ROWS
+    # pair mode: each block holds TWO independent W-row waves (see
+    # _kernel's pair tail); the pool rounds to the 2W block size
+    Wb = 2 * W if pair else W
     raw_pack = -(-r_orig // LANE_COLS)
-    pool_rows = -(-raw_pack // W) * W
-    n_waves = pool_rows // W
+    pool_rows = -(-raw_pack // Wb) * Wb
+    n_waves = pool_rows // Wb
     r = pool_rows * LANE_COLS
 
     def comp(a, j, fill):
@@ -900,7 +1023,7 @@ def _traverse_wide8_packed(
             memory_space=pltpu.VMEM,
         )
         wave_spec = lambda: pl.BlockSpec(  # noqa: E731
-            (W, LANE_COLS), lambda w, k: (w, 0), memory_space=pltpu.VMEM
+            (Wb, LANE_COLS), lambda w, k: (w, 0), memory_space=pltpu.VMEM
         )
         ctr_spec = pl.BlockSpec(
             (8, LANE_COLS), lambda w, k: (0, 0), memory_space=pltpu.VMEM
@@ -911,7 +1034,7 @@ def _traverse_wide8_packed(
             table.shape, lambda w: (0, 0), memory_space=pltpu.VMEM
         )
         wave_spec = lambda: pl.BlockSpec(  # noqa: E731
-            (W, LANE_COLS), lambda w: (w, 0), memory_space=pltpu.VMEM
+            (Wb, LANE_COLS), lambda w: (w, 0), memory_space=pltpu.VMEM
         )
         ctr_spec = pl.BlockSpec(
             (8, LANE_COLS), lambda w: (0, 0), memory_space=pltpu.VMEM
@@ -930,8 +1053,8 @@ def _traverse_wide8_packed(
             jax.ShapeDtypeStruct((pool_rows, LANE_COLS), jnp.int32)
         )
 
-    f32scr = lambda: pltpu.VMEM((W, LANE_COLS), jnp.float32)  # noqa: E731
-    i32scr = lambda: pltpu.VMEM((W, LANE_COLS), jnp.int32)  # noqa: E731
+    f32scr = lambda: pltpu.VMEM((Wb, LANE_COLS), jnp.float32)  # noqa: E731
+    i32scr = lambda: pltpu.VMEM((Wb, LANE_COLS), jnp.int32)  # noqa: E731
 
     def mk_call(drain: bool, resume: bool):
         cap_spec = pl.BlockSpec(
@@ -958,7 +1081,7 @@ def _traverse_wide8_packed(
                 cull_backface, any_hit, nr_rows, W, chunked=chunked,
                 woop=woop, any_order=any_order, phase_split=phase_split,
                 leaf_den=leaf_den, row_trips=row_trips,
-                drain=drain, resume=resume,
+                drain=drain, resume=resume, pair=pair,
             ),
             grid=grid,
             in_specs=ins,
@@ -978,6 +1101,7 @@ def _traverse_wide8_packed(
         # Measured ceilings in tools/ab jobs 047/049.
         assert not chunked, "drain+compact is single-table only"
         assert not row_trips, "diagnostics and drain are exclusive"
+        assert not pair, "drain caps and pair mode are exclusive"
         i32 = jnp.int32
 
         split_gather = _os.environ.get("VRT_DRAIN_SPLITGATHER", "0") == "1"
@@ -1088,7 +1212,7 @@ _traverse_wide8_jitted = hot_jit(
         "nr_rows", "cull_backface", "any_hit", "interpret",
         "return_counters", "n_chunks", "woop", "any_order",
         "phase_split", "leaf_den", "row_trips", "drain_caps",
-        "drain_rekey",
+        "drain_rekey", "pair",
     ),
 )
 
@@ -1147,6 +1271,7 @@ def intersect_closest(
         cull_backface=cull_backface, any_hit=False,
         interpret=interpret, n_chunks=k, woop=woop,
         drain_caps=caps, drain_rekey=DRAIN_REKEY_DEFAULT,
+        pair=PAIR_DEFAULT and k == 1 and not caps,
     )
 
 
@@ -1184,5 +1309,6 @@ def intersect_any(
         interpret=interpret, n_chunks=k, woop=woop,
         any_order=True, phase_split=True,
         drain_caps=caps, drain_rekey=DRAIN_REKEY_DEFAULT,
+        pair=PAIR_DEFAULT and k == 1 and not caps,
     )
     return hit.t < _BIG_T
