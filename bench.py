@@ -107,6 +107,16 @@ def main() -> None:
     # scene-size override, e.g. VRT_BENCH_TRIS=1048576 exercises the
     # HBM-streaming chunked path (accel.chunks) at Sponza-plus scale
     tris = int(os.environ.get("VRT_BENCH_TRIS", tris))
+    # workload realism (round-5): "real" = mipped ~1k^2 textures on the
+    # major materials + an alpha-tested foliage class (the AnyHit.rahit
+    # path) + an HDR sky panorama — the per-hit cost classes of the
+    # reference's Modern Sponza + SunnyHills.hdr default
+    # (Config.hpp:26-27).  "v1" = the round<=4 factor-only scene, for a
+    # comparable history.  Chunked (>VMEM-limit) scenes stay on "v1":
+    # the streaming tables bake candidate flags, which the alpha split
+    # does not cover (ops.trace._opaque_view).
+    workload = os.environ.get("VRT_BENCH_WORKLOAD",
+                              "real" if tris <= 400_000 else "v1")
 
     cfg = Config(
         width=width,
@@ -119,7 +129,7 @@ def main() -> None:
             aspect_ratio=width / height,
         ),
     )
-    scene = sponza_like_scene(target_triangles=tris)
+    scene = sponza_like_scene(target_triangles=tris, workload=workload)
     # Route the measured scene through the real glTF importer (the
     # reference's default workload is a glTF asset, Config.hpp:26; no
     # assets ship on this box, so the procedural scene is exported to a
@@ -130,14 +140,26 @@ def main() -> None:
         from vulkanraytracing_tpu.scene.gltf_export import export_scene_glb
 
         _progress["stage"] = "gltf_round_trip"
+        suffix = "" if workload == "v1" else f"_{workload}"
         glb = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            "artifacts", "bench", f"sponza_like_{tris}.glb",
+            "artifacts", "bench", f"sponza_like{suffix}_{tris}.glb",
         )
         if not os.path.exists(glb):
-            export_scene_glb(scene, glb)
+            images = None
+            if workload == "real":
+                from vulkanraytracing_tpu.scene.procedural import (
+                    sponza_real_images,
+                )
+
+                images = sponza_real_images()
+            export_scene_glb(scene, glb, images=images)
         loaded, _cam, _pool = load_scene(glb)
         assert loaded.geometry.num_triangles == scene.geometry.num_triangles
+        if workload == "real":
+            assert loaded.textures is not None, "glb lost the texture pool"
+            assert bool(np.asarray(loaded.geometry.alpha_test).any()), \
+                "glb lost the alpha-test (foliage) flags"
         # environment/sun are not part of glTF — attach the procedural
         # ones (the reference creates Environment separately too,
         # Engine.cpp:118-119)
@@ -236,6 +258,10 @@ def main() -> None:
         "median": round(float(np.median(per_frame)), 3),
         "frames": frames,
         "time_to_1024spp_s": round(best_frame_s * 1024.0, 1),
+        # workload version so the history stays interpretable:
+        # "real" = textures + alpha foliage + HDR sky (round 5+ default),
+        # "v1" = factor-only materials (rounds <= 4)
+        "workload": workload,
     }
     if n_devices > 1:
         out["devices"] = n_devices

@@ -411,4 +411,41 @@ def build_scene_bvh(
     bvh = collapse_bvh8(bvh)  # host-side; no-op under trace
     if host_built and bvh.probe is None:
         bvh = bvh._replace(probe=probe_cut(bvh.nodes, bvh.child_index))
-    return scene._replace(geometry=geometry, bvh=bvh)
+    scene = scene._replace(geometry=geometry, bvh=bvh)
+    if host_built:
+        scene = _attach_alpha_set(scene, leaf_size, builder)
+    return scene
+
+
+def _attach_alpha_set(scene: Scene, leaf_size: int, builder: str) -> Scene:
+    """Build the foliage-only tree (scene.types.AlphaScene) when the scene
+    carries alpha-tested triangles: ops.trace then splits every traversal
+    into an opaque phase over the main BVH (cutouts non-candidates) plus a
+    cheap alpha phase over this subset — the wavefront replacement for the
+    driver's inline any-hit shader (AnyHit.rahit:33-60)."""
+    import numpy as np
+
+    from vulkanraytracing_tpu.scene.types import AlphaScene
+
+    at = np.asarray(scene.geometry.alpha_test)
+    if not at.any():
+        return scene
+    alpha_idx = jnp.asarray(np.nonzero(at)[0].astype(np.int32))
+    sub_geom = jax.tree.map(lambda a: a[alpha_idx], scene.geometry)
+    if builder == "sah":
+        from vulkanraytracing_tpu.accel.sah import build_bvh_sah
+
+        sub_geom, sub_bvh = build_bvh_sah(sub_geom, leaf_size)
+    else:
+        sub_geom, sub_bvh = build_bvh(sub_geom, leaf_size)
+    from vulkanraytracing_tpu.accel.bvh8 import collapse_bvh8
+
+    sub_bvh = collapse_bvh8(sub_bvh)
+    if sub_bvh.probe is None:
+        sub_bvh = sub_bvh._replace(
+            probe=probe_cut(sub_bvh.nodes, sub_bvh.child_index)
+        )
+    tri_map = alpha_idx[sub_bvh.tri_order]
+    return scene._replace(
+        alpha=AlphaScene(geometry=sub_geom, bvh=sub_bvh, tri_map=tri_map)
+    )

@@ -170,6 +170,72 @@ def _resolve_alpha(scene: Scene, trace_fn, hit: Hit, t_max) -> Hit:
     return hit._replace(t=jnp.where(fail, big, hit.t))
 
 
+def _opaque_view(scene: Scene) -> Scene:
+    """Scene view whose alpha-test triangles are non-candidates: bit2 of
+    ``bvh.tri_flags`` cleared and ``geometry.alpha_test`` zeroed, so every
+    backend's candidate test ``(flags & 6) != 0`` (resp. ``opaque |
+    alpha_test`` for brute force) treats cutouts as statically transparent.
+    Phase A of the alpha split; the cutouts are traced by phase B over
+    ``scene.alpha``.  Does NOT cover chunked streaming tables (flags are
+    baked at build) — chunked scenes keep ``scene.alpha`` unset."""
+    import jax.numpy as jnp
+
+    geom = scene.geometry._replace(
+        alpha_test=jnp.zeros_like(scene.geometry.alpha_test)
+    )
+    bvh = scene.bvh
+    if bvh is not None:
+        bvh = bvh._replace(tri_flags=bvh.tri_flags & ~4)
+    return scene._replace(geometry=geom, bvh=bvh, alpha=None)
+
+
+def _closest_alpha_subset(
+    scene: Scene, cfg: Config, o, d, t_min, t_max, cull_backface: bool
+) -> Hit:
+    """Closest PASSING cutout hit over the foliage-only tree
+    (scene.alpha), with the bounded alpha re-trace loop confined to the
+    subset.  Returned ``tri`` ids are remapped to MAIN-scene triangle ids.
+    The subset tree is small (foliage is a fraction of the scene), so the
+    re-trace rounds cost a fraction of a full-scene traversal — the
+    wavefront answer to the driver's inline any-hit shader."""
+    import jax.numpy as jnp
+
+    alpha = scene.alpha
+    sub = scene._replace(geometry=alpha.geometry, bvh=alpha.bvh, alpha=None)
+    mode = cfg.traversal
+    if mode == TraversalMode.BRUTE_FORCE:
+        def trace_fn(lo_t, hi_t):
+            return intersect.intersect_closest_brute(
+                sub.geometry, o, d, lo_t, hi_t, cull_backface=cull_backface
+            )
+    else:
+        backend = _closest_backend(mode)
+
+        def trace_fn(lo_t, hi_t):
+            return backend(
+                sub.geometry, sub.bvh, o, d, lo_t, hi_t,
+                cull_backface=cull_backface,
+            )
+
+    hit = trace_fn(t_min, t_max)
+    hit = _resolve_alpha(sub, trace_fn, hit, t_max)
+    tri_global = alpha.tri_map[jnp.clip(hit.tri, 0, alpha.tri_map.shape[0] - 1)]
+    return hit._replace(tri=jnp.where(hit.is_hit, tri_global, hit.tri))
+
+
+def _merge_closest(hit_a: Hit, hit_b: Hit) -> Hit:
+    """Merge two closest-hit records by the order-independent (t, tri id)
+    lexicographic rule the traversal kernels use (KERNEL_NOTES round-4:
+    exact-t ties must resolve identically everywhere)."""
+    import jax.numpy as jnp
+
+    better = (hit_a.t < hit_b.t) | (
+        (hit_a.t == hit_b.t) & (hit_a.tri < hit_b.tri)
+    )
+    better &= hit_a.is_hit
+    return Hit(*[jnp.where(better, a, b) for a, b in zip(hit_a, hit_b)])
+
+
 def trace_closest(
     scene: Scene,
     cfg: Config,
@@ -184,13 +250,36 @@ def trace_closest(
 
     ``reorder=True`` sorts the wavefront by coherence key first (see
     ops.reorder) — used for bounce rays, whose pixel-tile packets would
-    otherwise be direction-incoherent."""
+    otherwise be direction-incoherent.
+
+    Alpha-tested (cutout) geometry: when the scene carries the foliage
+    split (scene.alpha, attached by accel.build_scene_bvh), the trace runs
+    as phase A (opaque candidates only, main BVH) + phase B (closest
+    passing cutout over the small subset tree, window tightened to the
+    opaque winner) merged by (t, id) — semantically the reference's
+    unbounded any-hit loop (RayGen.rgen:142-176) without paying re-traces
+    of the full scene.  Without the split (chunked tables, hand-assembled
+    scenes) the bounded full-scene re-trace loop applies."""
+    import jax.numpy as jnp
+
+    use_alpha = scene.textures is not None and cfg.alpha_visibility
+    if use_alpha and scene.alpha is not None:
+        hit_o = trace_closest(
+            _opaque_view(scene), cfg, o, d, t_min, t_max,
+            cull_backface=cull_backface, reorder=reorder,
+        )
+        hit_a = _closest_alpha_subset(
+            scene, cfg, o, d, t_min, jnp.minimum(t_max, hit_o.t),
+            cull_backface=cull_backface,
+        )
+        return _merge_closest(hit_a, hit_o)
+
     mode = cfg.traversal
     if mode == TraversalMode.BRUTE_FORCE or scene.bvh is None:
         hit = intersect.intersect_closest_brute(
             scene.geometry, o, d, t_min, t_max, cull_backface=cull_backface
         )
-        if scene.textures is not None and cfg.alpha_visibility:
+        if use_alpha:
             def retrace(lo_t, hi_t):
                 return intersect.intersect_closest_brute(
                     scene.geometry, o, d, lo_t, hi_t,
@@ -218,7 +307,7 @@ def trace_closest(
         o, d, t_min, t_max = reorder_mod.unapply_order(
             order, o, d, t_min, t_max
         )
-    if scene.textures is not None and cfg.alpha_visibility:
+    if use_alpha:
         def retrace(lo_t, hi_t):
             return backend(
                 scene.geometry, scene.bvh, o, d, lo_t, hi_t,
@@ -240,8 +329,20 @@ def trace_any(
 ) -> Array:
     """Alpha-aware visibility query (TraceVisibilityRay, RayGen.rgen:133-184)."""
     if scene.textures is not None and cfg.alpha_visibility:
-        # textured cutouts need per-hit alpha tests: reuse the closest-hit
-        # alpha loop (an occluder exists iff a committed hit survives it)
+        if scene.alpha is not None:
+            # opaque occluders keep the SPECIALIZED any-hit kernel (1.89x
+            # cheaper than closest, KERNEL_NOTES); only the cutout subset
+            # pays the alpha loop, on its own small tree
+            blocked = trace_any(
+                _opaque_view(scene), cfg, o, d, t_min, t_max, reorder=reorder
+            )
+            hit_a = _closest_alpha_subset(
+                scene, cfg, o, d, t_min, t_max, cull_backface=False
+            )
+            return blocked | hit_a.is_hit
+        # no foliage split (chunked tables / hand-assembled scenes): the
+        # closest-hit alpha loop over the full scene resolves cutouts (an
+        # occluder exists iff a committed hit survives it)
         hit = trace_closest(
             scene, cfg, o, d, t_min, t_max, cull_backface=False,
             reorder=reorder,

@@ -31,13 +31,23 @@ _ARRAY_BUFFER = 34962
 _ELEMENT_ARRAY_BUFFER = 34963
 
 
-def export_scene_glb(scene: Scene, path: str | Path) -> Path:
-    """Write ``scene``'s geometry/materials/point lights as a .glb.
+def export_scene_glb(
+    scene: Scene,
+    path: str | Path,
+    images: list[np.ndarray] | None = None,
+) -> Path:
+    """Write ``scene``'s geometry/materials/textures/point lights as a .glb.
 
     Triangles are grouped into one primitive per (material_id,
-    doubleSided) pair; each group becomes its own glTF material entry so
-    per-triangle cull flags survive the round trip (the loader derives
-    cull_disable from material.doubleSided)."""
+    doubleSided, alphaTest) triple; each group becomes its own glTF
+    material entry so per-triangle cull/alpha flags survive the round trip
+    (the loader derives cull_disable from material.doubleSided and
+    alpha_test from alphaMode MASK + baseColorTexture).
+
+    ``images`` are the original texture images in pool order (the Scene
+    only carries the flattened mipped pool); when given they are embedded
+    as PNGs and material baseColorTexture indices are written, so
+    scene.gltf._convert_textures rebuilds an equivalent pool on load."""
     geom = scene.geometry
     v0 = np.asarray(geom.v0, np.float32)
     p1 = v0 + np.asarray(geom.e1, np.float32)
@@ -46,14 +56,17 @@ def export_scene_glb(scene: Scene, path: str | Path) -> Path:
     uvs = [np.asarray(u, np.float32) for u in (geom.uv0, geom.uv1, geom.uv2)]
     mat_id = np.asarray(geom.material_id, np.int32)
     cull = np.asarray(geom.cull_disable, bool)
+    atest = np.asarray(geom.alpha_test, bool)
 
     base_mats = np.asarray(scene.materials.base_color_factor, np.float32)
     rough = np.asarray(scene.materials.roughness_factor, np.float32)
     metal = np.asarray(scene.materials.metallic_factor, np.float32)
     emission = np.asarray(scene.materials.emission_factor, np.float32)
+    cutoff = np.asarray(scene.materials.alpha_cutoff, np.float32)
+    bc_tex = np.asarray(scene.materials.base_color_texture, np.int32)
 
     groups = sorted(
-        {(int(m), bool(c)) for m, c in zip(mat_id, cull)}
+        {(int(m), bool(c), bool(a)) for m, c, a in zip(mat_id, cull, atest)}
     )
 
     blob = bytearray()
@@ -84,8 +97,10 @@ def export_scene_glb(scene: Scene, path: str | Path) -> Path:
 
     materials_json: list[dict] = []
     primitives: list[dict] = []
-    for gmat, gcull in groups:
-        sel = np.nonzero((mat_id == gmat) & (cull == gcull))[0]
+    for gmat, gcull, gatest in groups:
+        sel = np.nonzero(
+            (mat_id == gmat) & (cull == gcull) & (atest == gatest)
+        )[0]
         t = sel.size
         # unindexed corners -> (3T, ...) vertex streams + trivial indices
         pos = np.empty((3 * t, 3), np.float32)
@@ -117,18 +132,53 @@ def export_scene_glb(scene: Scene, path: str | Path) -> Path:
         )
         m = int(gmat)
         mat = {
-            "name": f"mat{m}" + ("_ds" if gcull else ""),
+            "name": f"mat{m}" + ("_ds" if gcull else "")
+            + ("_cut" if gatest else ""),
             "pbrMetallicRoughness": {
                 "baseColorFactor": [float(x) for x in base_mats[m]],
                 "roughnessFactor": float(rough[m]),
                 "metallicFactor": float(metal[m]),
             },
         }
+        if images is not None and 0 <= int(bc_tex[m]) < len(images):
+            mat["pbrMetallicRoughness"]["baseColorTexture"] = {
+                "index": int(bc_tex[m])
+            }
         if emission[m][:3].any():
             mat["emissiveFactor"] = [float(x) for x in emission[m][:3]]
         if gcull:
             mat["doubleSided"] = True
+        if gatest:
+            # the loader derives alpha_test from MASK + baseColorTexture
+            mat["alphaMode"] = "MASK"
+            mat["alphaCutoff"] = float(cutoff[m])
         materials_json.append(mat)
+
+    textures_json: list[dict] = []
+    images_json: list[dict] = []
+    if images:
+        import io
+
+        from PIL import Image
+
+        for img in images:
+            img = np.asarray(img)
+            if img.dtype != np.uint8:
+                img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            pil = Image.fromarray(img, "RGBA" if img.shape[-1] == 4 else "RGB")
+            buf = io.BytesIO()
+            pil.save(buf, format="PNG")
+            view = push(
+                np.frombuffer(buf.getvalue(), np.uint8), _ARRAY_BUFFER
+            )
+            # image bufferViews must not carry a vertex-attribute target
+            del buffer_views[view]["target"]
+            images_json.append(
+                {"bufferView": view, "mimeType": "image/png"}
+            )
+            textures_json.append(
+                {"source": len(images_json) - 1, "sampler": 0}
+            )
 
     doc: dict = {
         "asset": {"version": "2.0", "generator": "vulkanraytracing_tpu"},
@@ -141,6 +191,15 @@ def export_scene_glb(scene: Scene, path: str | Path) -> Path:
         "bufferViews": buffer_views,
         "buffers": [{"byteLength": len(blob)}],
     }
+    if textures_json:
+        doc["textures"] = textures_json
+        doc["images"] = images_json
+        # one trilinear-repeat sampler (the reference defaultSampler,
+        # Renderer.cpp:20-28)
+        doc["samplers"] = [{
+            "magFilter": 9729, "minFilter": 9987,
+            "wrapS": 10497, "wrapT": 10497,
+        }]
 
     if scene.point_lights is not None:
         pos = np.asarray(scene.point_lights.position, np.float32)

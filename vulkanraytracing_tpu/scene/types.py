@@ -214,6 +214,25 @@ class BVH(NamedTuple):
     tri_perm8: Optional[jnp.ndarray] = None  # (T8,) i32
 
 
+class AlphaScene(NamedTuple):
+    """Dedicated acceleration structure over the alpha-tested (cutout)
+    triangles only — the TPU-native replacement for per-hit any-hit shader
+    invocations (AnyHit.rahit:33-60).
+
+    The driver runs the any-hit shader inline during traversal; a wavefront
+    TPU kernel cannot call back into texture sampling mid-traversal, so
+    alpha-tested geometry is split out: the main BVH treats cutout tris as
+    non-candidates (tri_flags bit2 cleared — same mechanism that rejects
+    leaf padding slots), and this small foliage-only tree resolves the
+    alpha layers with the bounded re-trace loop (ops.trace._resolve_alpha)
+    at the subset's cost instead of the whole scene's.  Attached by
+    accel.build_scene_bvh when the scene has alpha-test triangles."""
+
+    geometry: TraceGeometry  # cutout subset, in its own BVH order
+    bvh: BVH                 # tree over the subset
+    tri_map: jnp.ndarray     # (Ta,) i32 — subset tri id -> main-scene tri id
+
+
 class Scene(NamedTuple):
     """The full renderable scene — analog of ScenePT + Environment +
     DirectLight bound together (Engine.cpp:106-136 ownership)."""
@@ -226,6 +245,9 @@ class Scene(NamedTuple):
     bvh: Optional[BVH]
     # bindless texture pool (ops.texture.TexturePool); None = untextured
     textures: Optional[tuple] = None
+    # alpha-tested (cutout) triangle subset with its own BVH; None when the
+    # scene has no alpha-test geometry (then no alpha machinery runs at all)
+    alpha: Optional[AlphaScene] = None
 
     @property
     def has_point_lights(self) -> bool:
