@@ -291,3 +291,62 @@ def test_export_glb_round_trip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ll.color)[:, :3], np.asarray(pl.color)[:, :3], atol=1e-5,
     )
+
+
+def test_export_glb_textures_and_alpha_round_trip(tmp_path):
+    """Textured export (round 5): embedded PNG images + alphaMode MASK
+    survive the writer->loader round trip, so the bench's measured scene
+    carries the reference's per-hit texture/alpha workload classes
+    (Config.hpp:26-27, AnyHit.rahit:33-60)."""
+    import numpy as np
+
+    from vulkanraytracing_tpu.ops.texture import build_texture_pool
+    from vulkanraytracing_tpu.scene.gltf import load_scene
+    from vulkanraytracing_tpu.scene.gltf_export import export_scene_glb
+    from vulkanraytracing_tpu.scene.types import (
+        Scene,
+        constant_environment,
+        make_materials,
+        make_trace_geometry,
+        no_direct_light,
+    )
+
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[:, :4] = [255, 0, 0, 255]
+    img[:, 4:] = [0, 255, 0, 0]  # right half transparent
+    positions = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    indices = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    geom = make_trace_geometry(positions, indices, uvs=uvs, material_id=0,
+                               cull_disable=True, opaque=False,
+                               alpha_test=True)
+    mats = make_materials(
+        base_color_factors=[(1, 1, 1, 1)],
+        roughness_factors=[0.7], metallic_factors=[0.0],
+        base_color_textures=[0], alpha_cutoffs=[0.25],
+    )
+    scene = Scene(
+        geometry=geom, materials=mats,
+        environment=constant_environment((1, 1, 1)),
+        direct_light=no_direct_light(), point_lights=None, bvh=None,
+        textures=build_texture_pool([img], size=8),
+    )
+    glb = tmp_path / "textured.glb"
+    export_scene_glb(scene, glb, images=[img])
+    loaded, _cam, pool = load_scene(glb)
+
+    assert pool is not None and pool.count == 1
+    # level-0 texels identical to the source image
+    w0, h0 = int(pool.width[0, 0]), int(pool.height[0, 0])
+    assert (w0, h0) == (8, 8)
+    lvl0 = np.asarray(pool.texels[: 8 * 8]).reshape(8, 8, 4)
+    np.testing.assert_array_equal(lvl0, img)
+    # alphaMode MASK + cutoff + the per-tri alpha flags survive
+    assert np.asarray(loaded.geometry.alpha_test).all()
+    assert not np.asarray(loaded.geometry.opaque).any()
+    np.testing.assert_allclose(
+        np.asarray(loaded.materials.alpha_cutoff), [0.25], atol=1e-6
+    )
+    assert int(loaded.materials.base_color_texture[0]) == 0

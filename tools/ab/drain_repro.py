@@ -16,11 +16,15 @@ Bisect axes beyond the caps:
   the frame program (each capped site compiles fresh + N resume
   kernels, so kernel count is a prime suspect for the abort);
 - VRT_DEBUG_NO_SORT=1 removes the riding wavefront sort between
-  bounces (the other large non-kernel block in the frame program).
+  bounces (the other large non-kernel block in the frame program);
+- VRT_DRAIN_COMPILE_ONLY=1 lowers + compiles the frame WITHOUT running
+  it: an abort here pins the failure to the XLA:TPU compiler (program
+  x shape cliff), a pass followed by a run abort pins it to runtime.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -69,6 +73,19 @@ def main() -> int:
 
     t0 = time.perf_counter()
     try:
+        if os.environ.get("VRT_DRAIN_COMPILE_ONLY"):
+            import jax
+
+            from vulkanraytracing_tpu.pt.render import render_frame_impl
+
+            lowered = jax.jit(
+                render_frame_impl, static_argnames=("cfg",)
+            ).lower(scene, cfg, camera, state)
+            print(f"lowered in {time.perf_counter() - t0:.1f}s", flush=True)
+            lowered.compile()
+            print(f"COMPILE PASS in {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+            return 0
         state, stats = render_frame(scene, cfg, camera, state)
         rays = float(stats.rays)  # forces completion through the relay
     except Exception as e:  # noqa: BLE001 - report ANY backend failure

@@ -148,7 +148,12 @@ def _resolve_alpha(scene: Scene, trace_fn, hit: Hit, t_max) -> Hit:
     """Re-trace past alpha-test hits whose sampled alpha < cutoff.
 
     Bounded unrolled loop: each round re-traces only the failed lanes from
-    just beyond the rejected surface (ignoreIntersectionEXT semantics)."""
+    just beyond the rejected surface (ignoreIntersectionEXT semantics).
+    Each round is guarded by a runtime ``lax.cond`` on "any lane failed":
+    when a round resolves every cutout (the common case — foliage stacks
+    are shallow), the remaining re-traversals are skipped on device
+    instead of tracing dead work."""
+    import jax
     import jax.numpy as jnp
 
     geom = scene.geometry
@@ -159,8 +164,16 @@ def _resolve_alpha(scene: Scene, trace_fn, hit: Hit, t_max) -> Hit:
         # continue failed lanes just past the rejected hit
         new_tmin = hit.t * 1.0001 + 1e-4
         new_tmax = jnp.where(fail, t_max, 0.0)
-        nxt = trace_fn(new_tmin, new_tmax)
-        hit = Hit(*[jnp.where(fail, n, h) for n, h in zip(nxt, hit)])
+
+        def _round(args):
+            lo_t, hi_t, fail, hit = args
+            nxt = trace_fn(lo_t, hi_t)
+            return Hit(*[jnp.where(fail, n, h) for n, h in zip(nxt, hit)])
+
+        hit = jax.lax.cond(
+            jnp.any(fail), _round, lambda args: args[3],
+            (new_tmin, new_tmax, fail, hit),
+        )
     # any still-failing hit after the bounded loop is dropped (treated as
     # transparent) rather than committed
     needs = hit.is_hit & geom.alpha_test[hit.tri]
