@@ -63,11 +63,17 @@ DONE = -(1 << 30)
 # bench frame (job 051: closest 454->420 ms at (256,1024); sun any-hit
 # 98.7->55.4 ms at (16,128); point any-hit 232.7->214.2 ms);
 # override for experiments with e.g. VRT_DRAIN_CLOSEST="128,512".
-# DEFAULT OFF: with caps enabled the FULL bench frame dies with a
-# runtime "TPU backend error (Aborted)" at warmup (repl jobs 052-056,
-# 2026-08-19) even though the standalone traversal A/Bs pass; drain-off
-# bench runs clean at 10.68 Mrays/s (job 059).  Opt back in via the env
-# vars once the full-frame abort is root-caused.
+# Round-5 bisect of the former full-frame TPU abort (r05 ladder +
+# jobs job_drain_concat/job_sortcap, artifacts/drain/): the caps pass
+# standalone at every scale (incl. the frame's 510-grid-step 2R concat
+# shape) and the capped frame passes at 512^2, with VRT_DEBUG_NO_SORT,
+# or with the SPLIT permute lowering — only the 1080p frame with the
+# ~18-operand riding lax.sort AND the packed (bitcast+concat+one wide
+# gather) drain permute aborts.  With split-gather permutes (default
+# below) the capped 1080p frame runs clean, so ANY-HIT caps are now
+# DEFAULT ON (measured kernel-side: sun 1.85x, point 1.20x with rekey).
+# CLOSEST caps stay default OFF: 1.05-1.09x at best, and the rekey
+# permutation slightly hurts closest (job 20_rekey).
 def _caps_env(name: str, default: tuple) -> tuple:
     import os
 
@@ -82,7 +88,7 @@ def _caps_env(name: str, default: tuple) -> tuple:
 import os as _os
 
 CLOSEST_DRAIN_CAPS = _caps_env("VRT_DRAIN_CLOSEST", ())
-ANYHIT_DRAIN_CAPS = _caps_env("VRT_DRAIN_ANYHIT", ())
+ANYHIT_DRAIN_CAPS = _caps_env("VRT_DRAIN_ANYHIT", (16, 128))
 DRAIN_REKEY_DEFAULT = _os.environ.get("VRT_DRAIN_REKEY", "1") == "1"
 # Dev knob for the full-frame abort bisect: caps are normally disabled
 # under interpret (CPU) because the capped program is strictly slower
@@ -1104,13 +1110,17 @@ def _traverse_wide8_packed(
         assert not pair, "drain caps and pair mode are exclusive"
         i32 = jnp.int32
 
-        split_gather = _os.environ.get("VRT_DRAIN_SPLITGATHER", "0") == "1"
+        split_gather = _os.environ.get("VRT_DRAIN_SPLITGATHER", "1") == "1"
 
         def permute_rows(perm, arrs):
             if split_gather:
-                # bisect/workaround axis for the full-frame TPU abort: one
-                # gather per array instead of bitcast+concat+one wide
-                # gather (identical semantics, different lowering)
+                # DEFAULT (round 5): one gather per array instead of
+                # bitcast+concat+one wide gather.  Identical semantics;
+                # the packed lowering is what aborted the capped 1080p
+                # frame when composed with the riding variadic sort
+                # (r05 ladder splitgather rung: PASS; packed: ABORT).
+                # Costs ~16 gathers x pool_rows x ~30 ns vs 1 — a few ms
+                # per drain round against the caps' ~60 ms/bounce win.
                 return [a[perm] for a in arrs]
             cols = [
                 a if a.dtype == jnp.int32

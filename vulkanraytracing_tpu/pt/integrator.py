@@ -471,11 +471,14 @@ def pathtrace(
     else:
         color = irradiance  # linear-HDR mode: display applies the curve
     if sorted_any:
-        # restore pixel order with ONE scatter: ray_slot carried each
-        # ray's original index through every permutation
-        color = jnp.zeros_like(color).at[ray_slot].set(
-            color, unique_indices=True
+        # restore pixel order: ray_slot carried each ray's original index
+        # through every permutation, so sorting by it IS the inverse
+        # permutation.  A riding lax.sort measured 28.8 ms vs 149 ms for
+        # the equivalent scatter at R=2M, bit-identical (r05 job_restore)
+        out = jax.lax.sort(
+            (ray_slot, color[:, 0], color[:, 1], color[:, 2]), num_keys=1
         )
+        color = jnp.stack(out[1:], axis=1)
     if nee_tap is not None:
         return color, TraceStats(rays=rays_cast), nee_tap
     return color, TraceStats(rays=rays_cast)
