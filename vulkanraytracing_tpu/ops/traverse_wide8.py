@@ -70,10 +70,12 @@ DONE = -(1 << 30)
 # or with the SPLIT permute lowering — only the 1080p frame with the
 # ~18-operand riding lax.sort AND the packed (bitcast+concat+one wide
 # gather) drain permute aborts.  With split-gather permutes (default
-# below) the capped 1080p frame runs clean, so ANY-HIT caps are now
-# DEFAULT ON (measured kernel-side: sun 1.85x, point 1.20x with rekey).
-# CLOSEST caps stay default OFF: 1.05-1.09x at best, and the rekey
-# permutation slightly hurts closest (job 20_rekey).
+# below) the capped 1080p frame runs clean, so BOTH cap sets are now
+# DEFAULT ON (measured kernel-side: sun any-hit 1.85x, point 1.20x with
+# rekey; closest 1.09x liveness-only — the closest_only ladder rung
+# passed the full frame even with the packed permute).  Shipping the
+# any-hit caps + the riding-sort restore moved the bench 10.60 -> 11.92
+# Mrays/s (artifacts/bench/r05_v1_caps.json).
 def _caps_env(name: str, default: tuple) -> tuple:
     import os
 
@@ -87,9 +89,14 @@ def _caps_env(name: str, default: tuple) -> tuple:
 
 import os as _os
 
-CLOSEST_DRAIN_CAPS = _caps_env("VRT_DRAIN_CLOSEST", ())
+CLOSEST_DRAIN_CAPS = _caps_env("VRT_DRAIN_CLOSEST", (256, 1024))
 ANYHIT_DRAIN_CAPS = _caps_env("VRT_DRAIN_ANYHIT", (16, 128))
 DRAIN_REKEY_DEFAULT = _os.environ.get("VRT_DRAIN_REKEY", "1") == "1"
+# rekey is a win for the any-hit drains (sun 1.85x vs 1.78x live-only)
+# but slightly NEGATIVE for closest (1.05x vs 1.09x — closest survivors
+# are already morton-sorted and the cursor key scrambles that, job
+# 20_rekey): closest drains default to liveness-only packing.
+CLOSEST_REKEY_DEFAULT = _os.environ.get("VRT_DRAIN_REKEY_CLOSEST", "0") == "1"
 # Dev knob for the full-frame abort bisect: caps are normally disabled
 # under interpret (CPU) because the capped program is strictly slower
 # there, but a CPU repro of the drain COMPOSITION (multiple call sites,
@@ -1280,7 +1287,7 @@ def intersect_closest(
         o, d, t_min, t_max,
         cull_backface=cull_backface, any_hit=False,
         interpret=interpret, n_chunks=k, woop=woop,
-        drain_caps=caps, drain_rekey=DRAIN_REKEY_DEFAULT,
+        drain_caps=caps, drain_rekey=CLOSEST_REKEY_DEFAULT,
         pair=PAIR_DEFAULT and k == 1 and not caps,
     )
 
