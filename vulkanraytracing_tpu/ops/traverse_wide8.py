@@ -1161,29 +1161,59 @@ def _traverse_wide8_packed(
         # standalone sort ate it; here the sort is free.
         rekey = drain_rekey
         for cap in (*drain_caps[1:], MAX_ITERS):
-            live_m = meta_s[:, 0] != DONE
-            if rekey:
-                key = jnp.where(live_m, meta_s[:, 0], jnp.int32(2**31 - 1))
-                perm = jnp.argsort(key, stable=True).astype(i32)
-            else:
-                perm = jnp.argsort(
-                    -live_m.astype(i32), stable=True
-                ).astype(i32)
-            state = permute_rows(
-                perm,
-                blocks + [best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s],
+            # Each resume round is gated by a runtime lax.cond on "any row
+            # still live": when the previous round drained everything (the
+            # common case for coherent primaries, small trees like the
+            # foliage split, and generous caps) the permute + full-grid
+            # resume launch are SKIPPED on device.  Bit-identical — a
+            # resume over zero live rows is an identity round — and it
+            # makes the caps free where they don't engage (r05: capped
+            # primaries measured ~870 ms vs ~70 uncapped because the
+            # resume rounds paid full grid + permute cost for nothing).
+            capr_v = i32(min(cap, MAX_ITERS))
+            carried = (*blocks, best, tri, hit_i, u_k, v_k, bf_k,
+                       meta_s, stack_s, acc, iters)
+
+            def _round(args, _capr=capr_v):
+                (ox_, oy_, oz_, dx_, dy_, dz_, ta_, tb_,
+                 best, tri, hit_i, u_k, v_k, bf_k,
+                 meta_s, stack_s, acc, iters) = args
+                blocks_ = [ox_, oy_, oz_, dx_, dy_, dz_, ta_, tb_]
+                live_m = meta_s[:, 0] != DONE
+                if rekey:
+                    key = jnp.where(
+                        live_m, meta_s[:, 0], jnp.int32(2**31 - 1)
+                    )
+                    perm = jnp.argsort(key, stable=True).astype(i32)
+                else:
+                    perm = jnp.argsort(
+                        -live_m.astype(i32), stable=True
+                    ).astype(i32)
+                state = permute_rows(
+                    perm,
+                    blocks_
+                    + [best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s],
+                )
+                blocks_ = state[:8]
+                (best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s) = \
+                    state[8:]
+                acc = acc[perm]
+                capr = jnp.full((1, 1), _capr)
+                outs = resume_call(
+                    table, *blocks_, capr,
+                    best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s,
+                )
+                (best, tri, hit_i, u_k, v_k, bf_k, iters_r,
+                 meta_s, stack_s) = outs
+                return (*blocks_, best, tri, hit_i, u_k, v_k, bf_k,
+                        meta_s, stack_s, acc, iters + iters_r)
+
+            carried = jax.lax.cond(
+                jnp.any(meta_s[:, 0] != DONE), _round, lambda a: a, carried
             )
-            blocks = state[:8]
-            (best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s) = state[8:]
-            acc = acc[perm]
-            capr = jnp.full((1, 1), i32(min(cap, MAX_ITERS)))
-            outs = resume_call(
-                table, *blocks, capr,
-                best, tri, hit_i, u_k, v_k, bf_k, meta_s, stack_s,
-            )
-            (best, tri, hit_i, u_k, v_k, bf_k, iters_r,
-             meta_s, stack_s) = outs
-            iters = iters + iters_r
+            blocks = list(carried[:8])
+            (best, tri, hit_i, u_k, v_k, bf_k,
+             meta_s, stack_s, acc, iters) = carried[8:]
         inv = jnp.zeros((pool_rows,), i32).at[acc].set(
             jnp.arange(pool_rows, dtype=i32), unique_indices=True
         )

@@ -125,7 +125,8 @@ def cornell_box_scene(
     parts.append((sv, si, 5))
 
     geoms = [
-        make_trace_geometry(v, i, material_id=m, cull_disable=True)
+        make_trace_geometry(v, i, material_id=m, cull_disable=True,
+                            device=False)
         for v, i, m in parts
     ]
     geometry = concat_geometry(geoms)
@@ -346,7 +347,8 @@ def sponza_like_scene(target_triangles: int = 262144, seed: int = 7,
 
     def add_quad(p0, p1, p2, p3, mat):
         v, i = _quad(p0, p1, p2, p3)
-        parts.append(make_trace_geometry(v, i, material_id=mat, cull_disable=True))
+        parts.append(make_trace_geometry(v, i, material_id=mat, cull_disable=True,
+                                         device=False))
 
     # shell
     add_quad([-hall[0], 0, -hall[2]], [-hall[0], 0, hall[2]],
@@ -372,7 +374,7 @@ def sponza_like_scene(target_triangles: int = 262144, seed: int = 7,
         sv, si = generate_sphere(0.8, lat=lat, lon=lon)
         sv = sv * np.array([1.0, 5.0, 1.0], np.float32)
         sv = sv + np.array([x, 4.0, z], np.float32)
-        parts.append(make_trace_geometry(sv, si, material_id=2))
+        parts.append(make_trace_geometry(sv, si, material_id=2, device=False))
 
     used = sum(g.num_triangles for g in parts)
     # clutter spheres to reach the target triangle budget
@@ -387,7 +389,7 @@ def sponza_like_scene(target_triangles: int = 262144, seed: int = 7,
             [rng.uniform(-hall[0], hall[0]), rng.uniform(0.2, hall[1] - 0.5),
              rng.uniform(-hall[2], hall[2])], np.float32,
         )
-        parts.append(make_trace_geometry(sv + pos, si,
+        parts.append(make_trace_geometry(sv + pos, si, device=False,
                                          material_id=int(rng.integers(0, 5))))
 
     geometry = concat_geometry(parts)
@@ -461,7 +463,8 @@ def _sponza_real_scene(target_triangles: int, seed: int) -> Scene:
         su, sv = uv_scale
         uvs = np.array([[0, 0], [su, 0], [su, sv], [0, sv]], np.float32)
         parts.append(make_trace_geometry(
-            v, i, uvs=uvs, material_id=mat, cull_disable=True, **flags
+            v, i, uvs=uvs, material_id=mat, cull_disable=True, device=False,
+            **flags
         ))
 
     # shell (floor/ceiling tile 8x4, walls 8x2)
@@ -494,7 +497,7 @@ def _sponza_real_scene(target_triangles: int, seed: int) -> Scene:
         parts.append(make_trace_geometry(
             sv, si, uvs=_sphere_uvs(sv, center) * np.array([4.0, 4.0],
                                                            np.float32),
-            material_id=2,
+            material_id=2, device=False,
         ))
 
     used = sum(g.num_triangles for g in parts)
@@ -519,7 +522,7 @@ def _sponza_real_scene(target_triangles: int, seed: int) -> Scene:
             uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
             parts.append(make_trace_geometry(
                 v, i, uvs=uvs, material_id=5, cull_disable=True,
-                opaque=False, alpha_test=True,
+                opaque=False, alpha_test=True, device=False,
             ))
 
     used = sum(g.num_triangles for g in parts)
@@ -537,7 +540,7 @@ def _sponza_real_scene(target_triangles: int, seed: int) -> Scene:
         mat = int(rng.integers(0, 5))
         parts.append(make_trace_geometry(
             sv + pos, si, uvs=_sphere_uvs(sv + pos, pos),
-            material_id=mat,
+            material_id=mat, device=False,
         ))
 
     geometry = concat_geometry(parts)

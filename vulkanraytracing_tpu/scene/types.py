@@ -265,11 +265,18 @@ def make_trace_geometry(
     opaque: np.ndarray | bool = True,
     alpha_test: np.ndarray | bool = False,
     dtype=jnp.float32,
+    device: bool = True,
 ) -> TraceGeometry:
     """Assemble SOA trace geometry from indexed vertex data.
 
     Generates flat normals / arbitrary tangents / zero uvs when attributes
-    are missing, mirroring SceneModel.cpp:223-302 (attribute generation)."""
+    are missing, mirroring SceneModel.cpp:223-302 (attribute generation).
+
+    ``device=False`` keeps every field a numpy array — builders that
+    assemble a scene from MANY parts (procedural foliage: thousands of
+    quads) must stay host-side until ONE final transfer, because each
+    device conversion is a relay round trip on tunneled TPUs
+    (concat_geometry converts the concatenated whole)."""
     positions = np.asarray(positions, np.float32)
     indices = np.asarray(indices, np.int64).reshape(-1, 3)
     t = indices.shape[0]
@@ -313,21 +320,37 @@ def make_trace_geometry(
     opaque = np.broadcast_to(np.asarray(opaque, bool), (t,))
     alpha_test = np.broadcast_to(np.asarray(alpha_test, bool), (t,))
 
-    as_dev = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+    if device:
+        as_f = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+        as_i = jnp.asarray
+    else:
+        as_f = lambda a: np.asarray(a, np.float32)  # noqa: E731
+        as_i = np.ascontiguousarray
     return TraceGeometry(
-        v0=as_dev(p0), e1=as_dev(e1), e2=as_dev(e2),
-        n0=as_dev(n0), n1=as_dev(n1), n2=as_dev(n2),
-        t0=as_dev(t0), t1=as_dev(t1), t2=as_dev(t2),
-        uv0=as_dev(uv0), uv1=as_dev(uv1), uv2=as_dev(uv2),
-        material_id=jnp.asarray(material_id),
-        cull_disable=jnp.asarray(cull_disable),
-        opaque=jnp.asarray(opaque),
-        alpha_test=jnp.asarray(alpha_test),
+        v0=as_f(p0), e1=as_f(e1), e2=as_f(e2),
+        n0=as_f(n0), n1=as_f(n1), n2=as_f(n2),
+        t0=as_f(t0), t1=as_f(t1), t2=as_f(t2),
+        uv0=as_f(uv0), uv1=as_f(uv1), uv2=as_f(uv2),
+        material_id=as_i(material_id),
+        cull_disable=as_i(cull_disable),
+        opaque=as_i(opaque),
+        alpha_test=as_i(alpha_test),
     )
 
 
 def concat_geometry(parts: list[TraceGeometry]) -> TraceGeometry:
-    """Concatenate triangle soups (instance flattening)."""
+    """Concatenate triangle soups (instance flattening).
+
+    Host-built (numpy) parts are concatenated in numpy and transferred
+    once per field — 17 device transfers total instead of
+    17 x len(parts) relay round trips (see make_trace_geometry
+    ``device=False``)."""
+    if any(isinstance(p.v0, np.ndarray) for p in parts):
+        cat = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+            *parts,
+        )
+        return jax.tree.map(jnp.asarray, cat)
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
 
