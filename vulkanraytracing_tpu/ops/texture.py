@@ -47,6 +47,13 @@ class TexturePool(NamedTuple):
     height: Array     # (K, L) i32
     wrap_s: Array     # (K,) i32 address mode
     wrap_t: Array     # (K,) i32
+    # precomputed 2x2 bilinear footprint per texel [c00|c10|c01|c11] with
+    # each texture's wrap modes baked in (same trick as
+    # scene.types.build_quad_table for the environment): a bilinear tap
+    # is then ONE row-gather instead of four — XLA:TPU gather cost is per
+    # INDEX, the 16 channels are free.  4x pool memory; None on pools
+    # built before the quad table landed (samplers fall back to 4 taps).
+    quad: Optional[Array] = None  # (N, 16) uint8
 
     @property
     def count(self) -> int:
@@ -134,18 +141,44 @@ def build_texture_pool(
             offset[i, lv] = off
             height[i, lv], width[i, lv] = mip.shape[0], mip.shape[1]
 
-    texels = jnp.asarray(np.concatenate(flat_parts, axis=0))
+    flat = np.concatenate(flat_parts, axis=0)
     if wrap_modes is None:
         wrap = np.zeros((k, 2), np.int32)
     else:
         wrap = np.asarray(wrap_modes, np.int32).reshape(k, 2)
+
+    # per-texel 2x2 footprint table (see TexturePool.quad): for texel
+    # (y, x) of each (texture, level) store [c(y,x) | c(y,x+1) | c(y+1,x)
+    # | c(y+1,x+1)].  Built only when EVERY texture is REPEAT/REPEAT
+    # (the glTF default and all procedural pools): under repeat,
+    # wrap(x0+1) == wrap(wrap(x0)+1) so the single-gather tap is EXACT;
+    # clamp/mirror differ in the outer half-texel band, so such pools
+    # keep the 4-tap path.
+    quad_j = None
+    if (wrap == WRAP_REPEAT).all():
+        def _shift(img: np.ndarray) -> np.ndarray:
+            right = np.roll(img, -1, axis=1)
+            down = np.roll(img, -1, axis=0)
+            diag = np.roll(down, -1, axis=1)
+            return np.concatenate([img, right, down, diag], axis=-1)
+
+        quad = np.empty((flat.shape[0], 16), np.uint8)
+        for i, chain in enumerate(chains):
+            for lv in range(min(lmax, len(chain))):
+                mip = chain[lv]
+                off = offset[i, lv]
+                n = mip.shape[0] * mip.shape[1]
+                quad[off : off + n] = _shift(mip).reshape(-1, 16)
+        quad_j = jnp.asarray(quad)
+
     return TexturePool(
-        texels=texels,
+        texels=jnp.asarray(flat),
         offset=jnp.asarray(offset),
         width=jnp.asarray(width),
         height=jnp.asarray(height),
         wrap_s=jnp.asarray(wrap[:, 0]),
         wrap_t=jnp.asarray(wrap[:, 1]),
+        quad=quad_j,
     )
 
 
@@ -175,15 +208,25 @@ def _bilinear(
     y0 = _apply_wrap(y0f.astype(jnp.int32), h, wt)
     y1 = _apply_wrap(y0f.astype(jnp.int32) + 1, h, wt)
 
-    def fetch(yy, xx):
-        # ONE row-gather of (N, 4) per tap — cost is per index, the 4
-        # channels are free (tools/ab (perf_gather, pruned round 3))
-        return pool.texels[base + yy * w + xx].astype(jnp.float32) * (1.0 / 255.0)
+    if pool.quad is not None:
+        # ONE row-gather for the whole 2x2 footprint (TexturePool.quad):
+        # the repeat-wrapped neighbor texels ride the same row, so a
+        # bilinear tap costs one gather instead of four — gather cost is
+        # per index, channels are free (tools/ab perf_gather)
+        rec = pool.quad[base + y0 * w + x0].astype(jnp.float32) * (1.0 / 255.0)
+        c00, c10 = rec[..., 0:4], rec[..., 4:8]
+        c01, c11 = rec[..., 8:12], rec[..., 12:16]
+    else:
+        def fetch(yy, xx):
+            # one row-gather of (N, 4) per tap (clamp/mirror pools)
+            return pool.texels[base + yy * w + xx].astype(jnp.float32) * (
+                1.0 / 255.0
+            )
 
-    c00 = fetch(y0, x0)
-    c10 = fetch(y0, x1)
-    c01 = fetch(y1, x0)
-    c11 = fetch(y1, x1)
+        c00 = fetch(y0, x0)
+        c10 = fetch(y0, x1)
+        c01 = fetch(y1, x0)
+        c11 = fetch(y1, x1)
     top = c00 * (1.0 - fx) + c10 * fx
     bot = c01 * (1.0 - fx) + c11 * fx
     return top * (1.0 - fy) + bot * fy
