@@ -208,8 +208,13 @@ def main() -> None:
     # slow one — the persistent compile cache makes repeat runs skip it,
     # but the budget must survive a cold cache on a congested relay)
     _progress["stage"] = "warmup_compile"
-    wd = _arm_watchdog(float(os.environ.get("VRT_BENCH_WARMUP_S", 2700)),
-                       "warmup_compile")
+    # the textured+alpha "real" frame compiles substantially longer than
+    # v1 (more traversal call sites); its cold-cache budget must cover a
+    # congested relay
+    warm_budget = 4800 if workload == "real" else 2700
+    wd = _arm_watchdog(
+        float(os.environ.get("VRT_BENCH_WARMUP_S", warm_budget)),
+        "warmup_compile")
     t0 = time.perf_counter()
     try:
         state, stats = render_frame(scene, cfg, camera, state)

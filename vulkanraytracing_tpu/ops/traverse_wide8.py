@@ -97,6 +97,12 @@ DRAIN_REKEY_DEFAULT = _os.environ.get("VRT_DRAIN_REKEY", "1") == "1"
 # are already morton-sorted and the cursor key scrambles that, job
 # 20_rekey): closest drains default to liveness-only packing.
 CLOSEST_REKEY_DEFAULT = _os.environ.get("VRT_DRAIN_REKEY_CLOSEST", "0") == "1"
+# caps only pay on scene-scale trees: small trees (the foliage split's
+# ~26k tris) drain in one capped round anyway, and every capped call
+# site adds fresh+resume Mosaic kernel compiles — the real-workload
+# frame (12 subset traversal sites) blew a 55-minute compile budget
+# before this gate
+DRAIN_MIN_TRIS = int(_os.environ.get("VRT_DRAIN_MIN_TRIS", "100000"))
 # Dev knob for the full-frame abort bisect: caps are normally disabled
 # under interpret (CPU) because the capped program is strictly slower
 # there, but a CPU repro of the drain COMPOSITION (multiple call sites,
@@ -1310,7 +1316,9 @@ def intersect_closest(
         table, nr = _unified_table8(bvh, woop=woop)
         k = 1
     interpret = _use_interpret()
-    caps_ok = (not interpret) or DRAIN_INTERPRET
+    caps_ok = ((not interpret) or DRAIN_INTERPRET) and (
+        bvh.tris.shape[0] >= DRAIN_MIN_TRIS
+    )
     caps = CLOSEST_DRAIN_CAPS if (k == 1 and caps_ok) else ()
     return _dispatch(o)(
         table, nr, bvh.tris,
@@ -1347,7 +1355,9 @@ def intersect_any(
         table, nr = _unified_table8(bvh, woop=woop)
         k = 1
     interpret = _use_interpret()
-    caps_ok = (not interpret) or DRAIN_INTERPRET
+    caps_ok = ((not interpret) or DRAIN_INTERPRET) and (
+        bvh.tris.shape[0] >= DRAIN_MIN_TRIS
+    )
     caps = ANYHIT_DRAIN_CAPS if (k == 1 and caps_ok) else ()
     hit = _dispatch(o)(
         table, nr, bvh.tris,
