@@ -502,26 +502,50 @@ def _sponza_real_scene(target_triangles: int, seed: int) -> Scene:
 
     used = sum(g.num_triangles for g in parts)
 
-    # foliage: crossed alpha-cutout quads (~10% of the budget) — hedges
-    # along the walls + clusters around columns, the AnyHit.rahit workload
-    fol_budget = target_triangles // 10
-    n_fol = fol_budget // 4  # crossed pair = 2 quads = 4 tris
-    for _ in range(n_fol):
-        cx = rng.uniform(-hall[0] + 1, hall[0] - 1)
-        cz = rng.choice([-1.0, 1.0]) * rng.uniform(hall[2] * 0.55,
-                                                   hall[2] - 0.5)
-        cy = rng.uniform(0.4, 2.2)
-        s = rng.uniform(0.4, 0.9)
-        ang = rng.uniform(0, np.pi)
-        ca, sa = np.cos(ang) * s, np.sin(ang) * s
-        for (dx, dz) in (((ca, sa)), ((-sa, ca))):
+    # foliage: alpha-cutout "bushes" along the walls (the AnyHit.rahit
+    # workload class).  Bushes sit on a JITTERED GRID with spacing larger
+    # than their radius, so neighboring bushes' AABBs stay disjoint —
+    # Modern Sponza's plants are localized clumps, and a first cut that
+    # scattered 6.5k interpenetrating quads uniformly in the wall strips
+    # produced a pathological foliage BVH (sibling overlap everywhere:
+    # the 26k-tri cutout tree traversed SLOWER than the 262k main tree,
+    # 1167 ms/2M shuffled rays — r05 probe).  Each bush is a rosette of
+    # crossed quads inside a ~0.5 m radius; ~4% of the triangle budget,
+    # in line with the reference scene's foliage share.
+    fol_budget = target_triangles // 25
+    quads_per_bush = 10
+    n_bush = max(fol_budget // (quads_per_bush * 2), 1)
+    uvs_leaf = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    slots = []
+    spacing = 1.6
+    for side in (-1.0, 1.0):
+        x = -hall[0] + 1.0
+        while x < hall[0] - 1.0:
+            slots.append((x, side * (hall[2] - 1.1)))
+            x += spacing
+    rng.shuffle(slots)
+    for b in range(n_bush):
+        bx, bz = slots[b % len(slots)]
+        bx += rng.uniform(-0.3, 0.3)
+        bz += rng.uniform(-0.2, 0.2)
+        by = rng.uniform(0.5, 0.9)
+        for _ in range(quads_per_bush):
+            s = rng.uniform(0.25, 0.5)
+            ang = rng.uniform(0, np.pi)
+            tilt = rng.uniform(-0.3, 0.3)
+            ox = rng.uniform(-0.35, 0.35)
+            oy = rng.uniform(-0.3, 0.5)
+            oz = rng.uniform(-0.35, 0.35)
+            ca, sa = np.cos(ang) * s, np.sin(ang) * s
+            cx, cy, cz = bx + ox, by + oy, bz + oz
             v, i = _quad(
-                [cx - dx, cy - s, cz - dz], [cx + dx, cy - s, cz + dz],
-                [cx + dx, cy + s, cz + dz], [cx - dx, cy + s, cz - dz],
+                [cx - ca, cy - s + tilt, cz - sa],
+                [cx + ca, cy - s - tilt, cz + sa],
+                [cx + ca, cy + s - tilt, cz + sa],
+                [cx - ca, cy + s + tilt, cz - sa],
             )
-            uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
             parts.append(make_trace_geometry(
-                v, i, uvs=uvs, material_id=5, cull_disable=True,
+                v, i, uvs=uvs_leaf, material_id=5, cull_disable=True,
                 opaque=False, alpha_test=True, device=False,
             ))
 
