@@ -14,7 +14,10 @@ _DEBUG = bool(os.environ.get("VRT_DEBUG", ""))
 
 
 def _emit(prefix: str, *args: object) -> None:
-    print(prefix, *args, file=sys.stdout, flush=True)
+    # stderr, not stdout: machine-readable surfaces (bench.py's one-JSON-
+    # line contract) own stdout; severity logs must never interleave with
+    # them (a chunked-build [TIME] line broke a bench capture in r05)
+    print(prefix, *args, file=sys.stderr, flush=True)
 
 
 def log_e(*args: object) -> None:
