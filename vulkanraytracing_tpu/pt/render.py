@@ -16,6 +16,7 @@ resume surface (SURVEY.md section 5) and what a multi-chip mesh shards.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -174,7 +175,11 @@ render_span = hot_jit(_render_span_impl, static_argnames=("cfg", "n"))
 # span length for render_progressive: long enough to amortize the relay
 # round trip, short enough to keep compile time and per-dispatch wall
 # time (watchdog) bounded
-_SPAN = 16
+# Frames per scanned span (one relay round trip each).  VRT_SPAN=1
+# falls back to per-frame dispatch: the 16-frame scan of a 262k-tri
+# packet-backend frame crashed the TPU worker 4/4 times in r05 (the
+# sponza262k parity oracle) while single frames of the same program run.
+_SPAN = int(os.environ.get("VRT_SPAN", "16"))
 
 
 def render_progressive(
